@@ -1,0 +1,153 @@
+"""Convolution primitives with PyTorch-compatible semantics, TPU-first layout.
+
+The reference's compute path is built from torch Conv1d/ConvTranspose1d/Conv2d
+(reference: models/hifigan.py:26-131, 177-222, 307-321, 484-493 and
+models/variance_adaptor.py:43-60).  Here they are implemented directly on
+lax.conv_general_dilated with channel-LAST layouts ([B, T, C] / [B, H, W, C]),
+which XLA tiles onto the MXU with the channel axis on the 128-wide lane
+dimension.  Padding arithmetic reproduces torch exactly, including the
+transposed-conv output-length contract
+  out_len = (in_len - 1) * stride - 2 * pad + kernel
+(so the generator's T_wav = Tfrm * hop invariant holds,
+reference: tests/test_hifigan_generator.py:40-99).
+
+Kernel layouts:
+  conv1d            w: [K, C_in // groups, C_out]
+  conv_transpose1d  w: [K, C_in, C_out]   (already in "effective conv" form;
+                       from a torch ConvTranspose1d weight W [C_in, C_out, K]
+                       use  w[t, i, o] = W[i, o, K-1-t])
+  conv2d            w: [KH, KW, C_in // groups, C_out]
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    """'same' padding for odd kernels (reference: models/hifigan.py:21-23)."""
+    return (kernel_size * dilation - dilation) // 2
+
+
+def conv1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """x [B, T, C_in], w [K, C_in//groups, C_out] -> [B, T', C_out]."""
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv_transpose1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """Torch-semantics ConvTranspose1d via input dilation.
+
+    x [B, T, C_in], w [K, C_in, C_out] (effective-conv form) ->
+    [B, (T-1)*stride - 2*padding + K, C_out].
+    """
+    k = w.shape[0]
+    pad = k - 1 - padding
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: Tuple[int, int] = (1, 1),
+    padding: Tuple[int, int] = (0, 0),
+    groups: int = 1,
+) -> jnp.ndarray:
+    """x [B, H, W, C_in], w [KH, KW, C_in//groups, C_out] -> [B, H', W', C_out]."""
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def avg_pool1d(
+    x: jnp.ndarray, kernel_size: int, stride: int, padding: int
+) -> jnp.ndarray:
+    """Torch AvgPool1d with count_include_pad=True (the default used by the
+    MSD pooling ladder, reference: models/hifigan.py:400-404).
+
+    x [B, T, C] -> [B, (T + 2*padding - kernel)//stride + 1, C].
+    """
+    summed = lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        lax.add,
+        window_dimensions=(1, kernel_size, 1),
+        window_strides=(1, stride, 1),
+        padding=((0, 0), (padding, padding), (0, 0)),
+    )
+    return summed / kernel_size
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.1) -> jnp.ndarray:
+    """LeakyReLU with the HiFi-GAN slope (reference: models/hifigan.py:81-84)."""
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def weight_norm_kernel(g: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """w = g * v / ||v||, norm over all axes except the output-channel (last)
+    axis — equivalent to torch weight_norm(dim=0) on [C_out, ...] layouts.
+
+    Discriminator convs use this parametrization at construction
+    (reference: models/hifigan.py:307-321, 481-493); the generator does NOT
+    (plain convs at init, reference: models/hifigan.py:177-222).
+    """
+    axes = tuple(range(v.ndim - 1))
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True) + 1e-12)
+    return g * v / norm
+
+
+def reflect_pad_time(x: jnp.ndarray, pad_right: int, axis: int = 1) -> jnp.ndarray:
+    """Reflect-pad along the time axis (MPD non-divisible lengths,
+    reference: models/hifigan.py:514-517)."""
+    if pad_right == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad_right)
+    return jnp.pad(x, cfg, mode="reflect")

@@ -8,7 +8,7 @@ set before the first `import jax` anywhere in the test process.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even if the env points at TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,7 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# This image pre-imports jax from a sitecustomize hook with JAX_PLATFORMS=axon
+# (TPU) already set, so the env var above may be too late; the config update
+# below still wins because the backend initializes lazily.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", (
+    "Tests must run on CPU with virtual devices; got " + jax.default_backend()
+)
+assert jax.device_count() >= 8, (
+    f"Expected >=8 virtual CPU devices for sharding tests, got {jax.device_count()}"
+)
 
 import pytest  # noqa: E402
 

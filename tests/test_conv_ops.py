@@ -1,0 +1,195 @@
+"""Parity tests for the conv primitives against torch.nn.functional.
+
+These pin down the padding/stride/dilation/groups arithmetic that every model
+component builds on (generator upsampling chain, MRF dilated stacks, MSD
+grouped strided convs, MPD 2-D convs, variance-adaptor predictors).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sambert_hifigan_tpu.ops.conv import (
+    avg_pool1d,
+    conv1d,
+    conv2d,
+    conv_transpose1d,
+    get_padding,
+    leaky_relu,
+    reflect_pad_time,
+    weight_norm_kernel,
+)
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def _np(seed, *shape):
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+class TestConv1d:
+    @pytest.mark.parametrize(
+        "cin,cout,k,stride,pad,dil,groups",
+        [
+            (80, 512, 7, 1, 3, 1, 1),      # generator conv_pre
+            (256, 256, 3, 1, 2, 2, 1),     # dilated MRF-style
+            (256, 256, 11, 1, 25, 5, 1),   # k=11 dil=5
+            (128, 128, 41, 2, 20, 1, 4),   # MSD grouped strided
+            (128, 256, 41, 2, 20, 1, 16),
+            (256, 256, 3, 1, 1, 1, 1),     # predictor conv
+        ],
+    )
+    def test_matches_torch(self, cin, cout, k, stride, pad, dil, groups):
+        x = _np(0, 2, 100, cin)  # [B, T, C]
+        w = _np(1, cout, cin // groups, k)  # torch layout [out, in/groups, k]
+        b = _np(2, cout)
+        ours = np.asarray(
+            conv1d(
+                jnp.asarray(x),
+                jnp.asarray(w.transpose(2, 1, 0)),  # -> [k, in/groups, out]
+                jnp.asarray(b),
+                stride=stride,
+                padding=pad,
+                dilation=dil,
+                groups=groups,
+            )
+        )
+        theirs = (
+            F.conv1d(
+                torch.from_numpy(x.transpose(0, 2, 1)),
+                torch.from_numpy(w),
+                torch.from_numpy(b),
+                stride=stride,
+                padding=pad,
+                dilation=dil,
+                groups=groups,
+            )
+            .numpy()
+            .transpose(0, 2, 1)
+        )
+        assert ours.shape == theirs.shape
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+class TestConvTranspose1d:
+    @pytest.mark.parametrize(
+        "cin,cout,k,stride",
+        [(512, 256, 16, 8), (256, 128, 16, 8), (128, 64, 4, 2), (64, 32, 4, 2)],
+    )
+    def test_matches_torch_generator_config(self, cin, cout, k, stride):
+        # Generator upsampling: padding = (k - u) // 2
+        # (reference: models/hifigan.py:196-203)
+        pad = (k - stride) // 2
+        x = _np(0, 2, 37, cin)
+        w = _np(1, cin, cout, k)  # torch ConvTranspose1d layout [in, out, k]
+        b = _np(2, cout)
+        # effective-conv form: flip kernel axis, [k, in, out]
+        w_eff = w[:, :, ::-1].transpose(2, 0, 1).copy()
+        ours = np.asarray(
+            conv_transpose1d(
+                jnp.asarray(x), jnp.asarray(w_eff), jnp.asarray(b),
+                stride=stride, padding=pad,
+            )
+        )
+        theirs = (
+            F.conv_transpose1d(
+                torch.from_numpy(x.transpose(0, 2, 1)),
+                torch.from_numpy(w),
+                torch.from_numpy(b),
+                stride=stride,
+                padding=pad,
+            )
+            .numpy()
+            .transpose(0, 2, 1)
+        )
+        assert ours.shape == theirs.shape
+        assert ours.shape[1] == 37 * stride  # exact upsample-length contract
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+class TestConv2d:
+    def test_matches_torch_mpd_config(self):
+        # MPD conv: kernel (5, 1), stride (3, 1), padding (2, 0)
+        # (reference: models/hifigan.py:484-493)
+        x = _np(0, 2, 50, 11, 32)  # [B, H, W, C]
+        w = _np(1, 128, 32, 5, 1)  # torch [out, in, kh, kw]
+        b = _np(2, 128)
+        ours = np.asarray(
+            conv2d(
+                jnp.asarray(x),
+                jnp.asarray(w.transpose(2, 3, 1, 0)),  # -> [kh, kw, in, out]
+                jnp.asarray(b),
+                stride=(3, 1),
+                padding=(2, 0),
+            )
+        )
+        theirs = (
+            F.conv2d(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                torch.from_numpy(w),
+                torch.from_numpy(b),
+                stride=(3, 1),
+                padding=(2, 0),
+            )
+            .numpy()
+            .transpose(0, 2, 3, 1)
+        )
+        assert ours.shape == theirs.shape
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+class TestAvgPool:
+    @pytest.mark.parametrize("t", [100, 101, 22050])
+    def test_matches_torch(self, t):
+        x = _np(0, 2, t, 1)
+        ours = np.asarray(avg_pool1d(jnp.asarray(x), 4, 2, 2))
+        theirs = (
+            F.avg_pool1d(torch.from_numpy(x.transpose(0, 2, 1)), 4, 2, 2)
+            .numpy()
+            .transpose(0, 2, 1)
+        )
+        assert ours.shape == theirs.shape
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+class TestWeightNorm:
+    def test_matches_torch_weight_norm(self):
+        w = _np(0, 64, 32, 5)  # torch conv layout [out, in, k]
+        wt = torch.from_numpy(w)
+        g_t = torch.linalg.vector_norm(wt, dim=(1, 2), keepdim=True)  # dim=0 norm
+        v = w.transpose(2, 1, 0)  # our layout [k, in, out]
+        g = np.asarray(g_t.squeeze().numpy())  # [out]
+        ours = np.asarray(weight_norm_kernel(jnp.asarray(g), jnp.asarray(v)))
+        # at init, w = g * v/||v|| == v
+        np.testing.assert_allclose(ours, v, rtol=1e-5, atol=1e-5)
+        # and scaling g by 2 doubles the kernel
+        ours2 = np.asarray(weight_norm_kernel(jnp.asarray(2 * g), jnp.asarray(v)))
+        np.testing.assert_allclose(ours2, 2 * v, rtol=1e-5, atol=1e-5)
+
+
+class TestMisc:
+    def test_leaky_relu_matches_torch(self):
+        x = _np(0, 128)
+        np.testing.assert_allclose(
+            np.asarray(leaky_relu(jnp.asarray(x), 0.1)),
+            F.leaky_relu(torch.from_numpy(x), 0.1).numpy(),
+            atol=1e-7,
+        )
+
+    def test_reflect_pad_matches_torch(self):
+        x = _np(0, 2, 10, 1)
+        ours = np.asarray(reflect_pad_time(jnp.asarray(x), 3, axis=1))
+        theirs = (
+            F.pad(torch.from_numpy(x.transpose(0, 2, 1)), (0, 3), mode="reflect")
+            .numpy()
+            .transpose(0, 2, 1)
+        )
+        np.testing.assert_allclose(ours, theirs)
+
+    def test_get_padding(self):
+        assert get_padding(3, 1) == 1
+        assert get_padding(3, 5) == 5
+        assert get_padding(11, 5) == 25
+        assert get_padding(7, 1) == 3
