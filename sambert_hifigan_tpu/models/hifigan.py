@@ -1,0 +1,341 @@
+"""HiFi-GAN vocoder, TPU-native.
+
+Re-implements the reference's generator + discriminators
+(reference: models/hifigan.py) with the same observable behavior:
+
+  Generator: conv_pre(80->512, k7) -> 4x [LeakyReLU(0.1) -> ConvTranspose1d
+  (strides 8,8,2,2; kernels 16,16,4,4; channels 512->256->128->64->32) -> MRF]
+  -> LeakyReLU -> conv_post(->1, k7) -> tanh.  MRF averages 3 parallel
+  ResBlocks (k = 3,7,11; dilations (1,3,5), each dilated conv followed by a
+  dilation-1 conv, residual after each pair).  Exact length contract:
+  T_wav = Tfrm * prod(upsample_rates) = Tfrm * hop_length
+  (reference: tests/test_hifigan_generator.py:40-99, 129-143).
+
+  Quirks preserved on purpose (SURVEY.md section 7.3.7): the generator does
+  NOT use weight norm at construction (reference: models/hifigan.py:177-222),
+  while both discriminators do (307-321, 481-493); the MSD 4x scale applies
+  the same AvgPool1d(4,2,2) twice (427-434); MRF outputs are averaged over
+  blocks, not summed (124-131).
+
+TPU design: everything is channel-last [B, T, C]; the ConvTranspose is an
+lhs-dilated conv that XLA maps onto the MXU; the full generator is one fused
+jitted program with static shapes (no Python loops over time).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import DiscriminatorConfig, GeneratorConfig, VocoderConfig
+from ..ops.conv import avg_pool1d, get_padding, leaky_relu, reflect_pad_time
+from .layers import Conv1d, Conv2d, ConvTranspose1d
+
+LRELU_SLOPE = 0.1
+
+
+class ResBlock(nn.Module):
+    """Dilated residual stack (reference: models/hifigan.py:26-86).
+
+    For each dilation d in `dilation`:
+      x = x + conv2_{dil=1}(lrelu(conv1_{dil=d}(lrelu(x))))
+    """
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3, 5)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilation):
+            xt = leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(
+                self.channels,
+                self.channels,
+                self.kernel_size,
+                dilation=d,
+                padding=get_padding(self.kernel_size, d),
+                dtype=self.dtype,
+                name=f"conv1_{i}",
+            )(xt)
+            xt = leaky_relu(xt, LRELU_SLOPE)
+            xt = Conv1d(
+                self.channels,
+                self.channels,
+                self.kernel_size,
+                dilation=1,
+                padding=get_padding(self.kernel_size, 1),
+                dtype=self.dtype,
+                name=f"conv2_{i}",
+            )(xt)
+            x = x + xt
+        return x
+
+
+class MRF(nn.Module):
+    """Multi-receptive-field block: parallel ResBlocks, AVERAGED
+    (reference: models/hifigan.py:89-131)."""
+
+    channels: int
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = None
+        for i, (k, dil) in enumerate(
+            zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+        ):
+            y = ResBlock(
+                self.channels, k, tuple(dil), dtype=self.dtype, name=f"resblock_{i}"
+            )(x)
+            out = y if out is None else out + y
+        return out / len(self.resblock_kernel_sizes)
+
+
+class HiFiGANGenerator(nn.Module):
+    """mel [B, n_mels, Tfrm] -> wav [B, 1, Tfrm * hop]
+    (reference: models/hifigan.py:134-261).
+
+    External layout matches the reference ([B, C, T]); internally channel-last.
+    """
+
+    config: GeneratorConfig = GeneratorConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        x = jnp.swapaxes(mel, 1, 2)  # [B, T, n_mels]
+        x = Conv1d(
+            cfg.n_mels,
+            cfg.upsample_initial_channel,
+            7,
+            padding=3,
+            dtype=self.dtype,
+            name="conv_pre",
+        )(x)
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            cin = cfg.upsample_initial_channel // (2**i)
+            cout = cfg.upsample_initial_channel // (2 ** (i + 1))
+            x = leaky_relu(x, LRELU_SLOPE)
+            x = ConvTranspose1d(
+                cin,
+                cout,
+                k,
+                stride=u,
+                padding=(k - u) // 2,
+                dtype=self.dtype,
+                name=f"up_{i}",
+            )(x)
+            x = MRF(
+                cout,
+                cfg.resblock_kernel_sizes,
+                cfg.resblock_dilation_sizes,
+                dtype=self.dtype,
+                name=f"mrf_{i}",
+            )(x)
+        x = leaky_relu(x, LRELU_SLOPE)
+        final_channels = cfg.upsample_initial_channel // (
+            2 ** len(cfg.upsample_rates)
+        )
+        x = Conv1d(
+            final_channels, 1, 7, padding=3, dtype=self.dtype, name="conv_post"
+        )(x)
+        wav = jnp.tanh(x.astype(jnp.float32))
+        return jnp.swapaxes(wav, 1, 2)  # [B, 1, T_wav]
+
+
+class ScaleDiscriminator(nn.Module):
+    """Single-scale waveform critic (reference: models/hifigan.py:286-353).
+
+    Returns (logits [B, 1, T'], 8 feature maps) — 7 conv features + conv_post.
+    Feature maps are returned channel-FIRST ([B, C, T]) to match the reference
+    arity/shape contracts in the loss tests.
+    """
+
+    use_spectral_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        # x: [B, 1, T] -> [B, T, 1]
+        h = jnp.swapaxes(x, 1, 2)
+        specs = [
+            # (cin, cout, k, stride, groups, pad)
+            (1, 128, 15, 1, 1, 7),
+            (128, 128, 41, 2, 4, 20),
+            (128, 256, 41, 2, 16, 20),
+            (256, 512, 41, 4, 16, 20),
+            (512, 1024, 41, 4, 16, 20),
+            (1024, 1024, 41, 1, 16, 20),
+            (1024, 1024, 5, 1, 1, 2),
+        ]
+        fmaps: List[jnp.ndarray] = []
+        for i, (cin, cout, k, s, g, p) in enumerate(specs):
+            h = Conv1d(
+                cin, cout, k, stride=s, groups=g, padding=p,
+                weight_norm=not self.use_spectral_norm,
+                dtype=self.dtype, name=f"conv_{i}",
+            )(h)
+            h = leaky_relu(h, LRELU_SLOPE)
+            fmaps.append(jnp.swapaxes(h, 1, 2))
+        h = Conv1d(
+            1024, 1, 3, padding=1,
+            weight_norm=not self.use_spectral_norm,
+            dtype=self.dtype, name="conv_post",
+        )(h)
+        out = jnp.swapaxes(h, 1, 2)
+        fmaps.append(out)
+        return out, fmaps
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """MSD: 3 critics at 1x / 2x / 4x (reference: models/hifigan.py:356-447).
+
+    The 4x branch applies AvgPool1d(4, 2, 2) twice, exactly as the reference
+    does (models/hifigan.py:427-434).
+    """
+
+    use_spectral_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray
+    ) -> Tuple[List[jnp.ndarray], List[List[jnp.ndarray]]]:
+        outputs, fmaps_list = [], []
+        xt = jnp.swapaxes(x, 1, 2)  # [B, T, 1]
+        pooled_once = avg_pool1d(xt, 4, 2, 2)
+        pooled_twice = avg_pool1d(pooled_once, 4, 2, 2)
+        scales = [xt, pooled_once, pooled_twice]
+        for i, xs in enumerate(scales):
+            out, fmaps = ScaleDiscriminator(
+                self.use_spectral_norm, dtype=self.dtype, name=f"disc_{i}"
+            )(jnp.swapaxes(xs, 1, 2))
+            outputs.append(out)
+            fmaps_list.append(fmaps)
+        return outputs, fmaps_list
+
+
+class PeriodDiscriminator(nn.Module):
+    """Period-p critic: reflect-pad T to a multiple of p, reshape to
+    [B, 1, T/p, p], 5 Conv2d (k=(5,1), stride=(3,1)) + conv_post
+    (reference: models/hifigan.py:450-542).  Channel ladder
+    [32, 128, 512, 1024, 1024, 1] is asserted by reference
+    tests/test_multi_period_discriminator.py:195-202."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+    use_spectral_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        b, c, t = x.shape
+        if t % self.period != 0:
+            pad = self.period - (t % self.period)
+            x = reflect_pad_time(x, pad, axis=2)
+            t = t + pad
+        # [B, 1, T] -> [B, T/p, p, 1] (channel-last 2D)
+        h = x.reshape(b, c, t // self.period, self.period)
+        h = h.transpose(0, 2, 3, 1)
+        channels = [(1, 32), (32, 128), (128, 512), (512, 1024)]
+        fmaps: List[jnp.ndarray] = []
+        for i, (cin, cout) in enumerate(channels):
+            h = Conv2d(
+                cin, cout, (self.kernel_size, 1), stride=(self.stride, 1),
+                padding=(get_padding(self.kernel_size, 1), 0),
+                weight_norm=not self.use_spectral_norm,
+                dtype=self.dtype, name=f"conv_{i}",
+            )(h)
+            h = leaky_relu(h, LRELU_SLOPE)
+            fmaps.append(h.transpose(0, 3, 1, 2))  # [B, C, H, W]
+        h = Conv2d(
+            1024, 1024, (self.kernel_size, 1), stride=(1, 1), padding=(2, 0),
+            weight_norm=not self.use_spectral_norm, dtype=self.dtype, name="conv_4",
+        )(h)
+        h = leaky_relu(h, LRELU_SLOPE)
+        fmaps.append(h.transpose(0, 3, 1, 2))
+        h = Conv2d(
+            1024, 1, (3, 1), stride=(1, 1), padding=(1, 0),
+            weight_norm=not self.use_spectral_norm, dtype=self.dtype, name="conv_post",
+        )(h)
+        out = h.transpose(0, 3, 1, 2)  # [B, 1, H, W]
+        fmaps.append(out)
+        return out, fmaps
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """MPD over periods (2, 3, 5, 7, 11) (reference: models/hifigan.py:545-615)."""
+
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    use_spectral_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray
+    ) -> Tuple[List[jnp.ndarray], List[List[jnp.ndarray]]]:
+        outputs, fmaps_list = [], []
+        for p in self.periods:
+            out, fmaps = PeriodDiscriminator(
+                p, use_spectral_norm=self.use_spectral_norm,
+                dtype=self.dtype, name=f"disc_p{p}",
+            )(x)
+            outputs.append(out)
+            fmaps_list.append(fmaps)
+        return outputs, fmaps_list
+
+
+class HiFiGAN(nn.Module):
+    """Facade owning generator + MSD + MPD (reference: models/hifigan.py:618-800).
+
+    `__call__(mel)` generates; `discriminate(wav_real, wav_fake)` returns the
+    reference's 8-tuple (msd_real_out, msd_real_feat, msd_fake_out,
+    msd_fake_feat, mpd_real_out, mpd_real_feat, mpd_fake_out, mpd_fake_feat).
+    """
+
+    config: VocoderConfig = VocoderConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.generator = HiFiGANGenerator(self.config.generator, dtype=self.dtype)
+        self.msd = MultiScaleDiscriminator(
+            self.config.discriminator.msd_use_spectral_norm, dtype=self.dtype
+        )
+        self.mpd = MultiPeriodDiscriminator(
+            tuple(self.config.discriminator.mpd_periods),
+            self.config.discriminator.mpd_use_spectral_norm,
+            dtype=self.dtype,
+        )
+
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        return self.generator(mel)
+
+    def generate(self, mel: jnp.ndarray) -> jnp.ndarray:
+        return self.generator(mel)
+
+    def init_all(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """Touch every submodule so `model.init(key, mel, method='init_all')`
+        creates generator AND discriminator params in one pass."""
+        wav = self.generator(mel)
+        self.discriminate(wav, wav)
+        return wav
+
+    def discriminate(self, wav_real: jnp.ndarray, wav_fake: jnp.ndarray):
+        msd_real_out, msd_real_feat = self.msd(wav_real)
+        msd_fake_out, msd_fake_feat = self.msd(wav_fake)
+        mpd_real_out, mpd_real_feat = self.mpd(wav_real)
+        mpd_fake_out, mpd_fake_feat = self.mpd(wav_fake)
+        return (
+            msd_real_out, msd_real_feat,
+            msd_fake_out, msd_fake_feat,
+            mpd_real_out, mpd_real_feat,
+            mpd_fake_out, mpd_fake_feat,
+        )

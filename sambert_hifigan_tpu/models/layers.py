@@ -1,0 +1,191 @@
+"""Reusable flax modules: torch-semantics conv/linear layers.
+
+Shared by the HiFi-GAN family and the variance-adaptor predictors.  Kernels
+live in TPU-friendly channel-last layouts (see ops/conv.py); initialization
+matches torch defaults (see utils/init.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import conv as conv_ops
+from ..utils.init import (
+    torch_bias_init,
+    torch_conv_kernel_init,
+    torch_linear_kernel_init,
+)
+
+
+class Conv1d(nn.Module):
+    """Torch-semantics Conv1d on [B, T, C] with optional weight norm.
+
+    weight_norm=True reproduces torch's nn.utils.weight_norm(conv) applied at
+    construction (discriminators, reference: models/hifigan.py:307-321); at
+    init g = ||v|| so the effective kernel equals the plain init draw.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    weight_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kshape = (self.kernel_size, self.in_channels // self.groups, self.out_channels)
+        fan_in = kshape[0] * kshape[1]
+        if self.weight_norm:
+            def wn_init(key, shape):
+                v = torch_conv_kernel_init(key, shape)
+                g = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1)))
+                return {"v": v, "g": g}
+
+            wn = self.param("kernel_wn", wn_init, kshape)
+            w = conv_ops.weight_norm_kernel(wn["g"], wn["v"])
+        else:
+            w = self.param("kernel", torch_conv_kernel_init, kshape)
+        b = (
+            self.param("bias", torch_bias_init(fan_in), (self.out_channels,))
+            if self.use_bias
+            else None
+        )
+        w = w.astype(self.dtype)
+        b = b.astype(self.dtype) if b is not None else None
+        return conv_ops.conv1d(
+            x.astype(self.dtype),
+            w,
+            b,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+        )
+
+
+class ConvTranspose1d(nn.Module):
+    """Torch-semantics ConvTranspose1d on [B, T, C].
+
+    Kernel stored in effective-conv form [K, C_in, C_out].  torch computes the
+    default-init fan_in of a ConvTranspose1d from its [C_in, C_out, K] weight
+    as C_out * K, which is reproduced here.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kshape = (self.kernel_size, self.in_channels, self.out_channels)
+        # torch fan_in for ConvTranspose1d weight [in, out, k]: dim-1 * k
+        fan_in = self.out_channels * self.kernel_size
+        def k_init(key, shape):
+            bound = 1.0 / (fan_in**0.5)
+            return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+        w = self.param("kernel", k_init, kshape)
+        b = (
+            self.param("bias", torch_bias_init(fan_in), (self.out_channels,))
+            if self.use_bias
+            else None
+        )
+        w = w.astype(self.dtype)
+        b = b.astype(self.dtype) if b is not None else None
+        return conv_ops.conv_transpose1d(
+            x.astype(self.dtype), w, b, stride=self.stride, padding=self.padding
+        )
+
+
+class Conv2d(nn.Module):
+    """Torch-semantics Conv2d on [B, H, W, C] with optional weight norm
+    (MPD, reference: models/hifigan.py:484-493)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    weight_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kshape = (kh, kw, self.in_channels, self.out_channels)
+        fan_in = kh * kw * self.in_channels
+        if self.weight_norm:
+            def wn_init(key, shape):
+                v = torch_conv_kernel_init(key, shape)
+                g = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2)))
+                return {"v": v, "g": g}
+
+            wn = self.param("kernel_wn", wn_init, kshape)
+            w = conv_ops.weight_norm_kernel(wn["g"], wn["v"])
+        else:
+            w = self.param("kernel", torch_conv_kernel_init, kshape)
+        b = (
+            self.param("bias", torch_bias_init(fan_in), (self.out_channels,))
+            if self.use_bias
+            else None
+        )
+        w = w.astype(self.dtype)
+        b = b.astype(self.dtype) if b is not None else None
+        return conv_ops.conv2d(
+            x.astype(self.dtype), w, b, stride=self.stride, padding=self.padding
+        )
+
+
+class Linear(nn.Module):
+    """Torch-semantics Linear: kernel [in, out], torch-default init."""
+
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+    kernel_init: Optional[object] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        init = self.kernel_init or torch_linear_kernel_init
+        w = self.param("kernel", init, (self.in_features, self.out_features))
+        y = x.astype(self.dtype) @ w.astype(self.dtype)
+        if self.use_bias:
+            b = self.param(
+                "bias", torch_bias_init(self.in_features), (self.out_features,)
+            )
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the last axis, torch-default eps/affine."""
+
+    features: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype)
