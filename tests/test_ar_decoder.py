@@ -1,0 +1,150 @@
+"""PNCA AR decoder tests.
+
+Ports reference tests/test_ar_decoder.py contracts (teacher-forcing shape
+27-54, AR inference length 57-140, chunk-size invariance 143-165, shift-right
+semantics 168-188, grad flow 239-267) plus the load-bearing TPU test: the
+scan+KV-cache decoder is numerically identical to teacher-forcing the decoder
+on its own output (which is exactly what the reference's full-prefix re-run
+computes).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sambert_hifigan_tpu.config import DecoderConfig
+from sambert_hifigan_tpu.models.ar_decoder import PNCAARDecoder, ar_decode
+
+D, MELS = 32, 80
+CFG = DecoderConfig(n_layers=2, n_heads=4, d_ff=64, dropout=0.1, max_len=128)
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    model = PNCAARDecoder(D, MELS, CFG)
+    hvar = jnp.asarray(np.random.default_rng(0).standard_normal((2, 12, D)), jnp.float32)
+    mel = jnp.asarray(np.random.default_rng(1).standard_normal((2, 12, MELS)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), hvar, mel)
+    return model, params
+
+
+def _rand(seed, *shape):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(shape), jnp.float32)
+
+
+class TestTeacherForcing:
+    def test_shape(self, model_params):
+        model, params = model_params
+        hvar, mel = _rand(0, 2, 12, D), _rand(1, 2, 12, MELS)
+        out = model.apply(params, hvar, mel)
+        assert out.shape == (2, 12, MELS)
+
+    def test_shift_right_first_frame_independent_of_melgt(self, model_params):
+        """Prediction at t=0 sees only the zero start token: changing mel_gt
+        must not change frame 0 (reference: tests/test_ar_decoder.py:168-188)."""
+        model, params = model_params
+        hvar = _rand(0, 2, 12, D)
+        a = model.apply(params, hvar, _rand(1, 2, 12, MELS))
+        b = model.apply(params, hvar, _rand(2, 2, 12, MELS))
+        np.testing.assert_allclose(
+            np.asarray(a)[:, 0], np.asarray(b)[:, 0], atol=1e-5
+        )
+        assert not np.allclose(np.asarray(a)[:, 5], np.asarray(b)[:, 5])
+
+    def test_causality_future_melgt_does_not_affect_past(self, model_params):
+        model, params = model_params
+        hvar = _rand(0, 1, 12, D)
+        mel = _rand(1, 1, 12, MELS)
+        mel2 = mel.at[:, 8:, :].set(99.0)
+        a = model.apply(params, hvar, mel)
+        b = model.apply(params, hvar, mel2)
+        # frames 0..8 depend on shifted inputs 0..7 -> unchanged
+        np.testing.assert_allclose(
+            np.asarray(a)[:, :9], np.asarray(b)[:, :9], rtol=1e-4, atol=1e-5
+        )
+
+    def test_grad_flow(self, model_params):
+        model, params = model_params
+        hvar, mel = _rand(0, 2, 12, D), _rand(1, 2, 12, MELS)
+
+        def loss(p):
+            out = model.apply(p, hvar, mel)
+            return jnp.mean(jnp.square(out))
+
+        g = jax.grad(loss)(params)
+        total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+        assert total > 0
+        # every parameter receives gradient
+        # (reference: tests/test_acoustic_model_with_losses.py:112-118)
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestARDecode:
+    def test_output_length_equals_max_len(self, model_params):
+        # (reference: tests/test_ar_decoder.py:57-140)
+        model, params = model_params
+        hvar = _rand(0, 2, 12, D)
+        for max_len in (5, 12):
+            out = ar_decode(model, params, hvar, max_len=max_len)
+            assert out.shape == (2, max_len, MELS)
+
+    def test_scan_equals_teacher_forcing_on_own_output(self, model_params):
+        """The KV-cache scan at step t consumes exactly the frames it produced
+        for steps < t; teacher-forcing the decoder (eval) on the scan's output
+        replays the same computation, so the two must agree to numerical
+        precision.  This is the cache-correctness proof replacing the
+        reference's full-prefix recompute."""
+        model, params = model_params
+        hvar = _rand(3, 2, 10, D)
+        generated = ar_decode(model, params, hvar, max_len=10)
+        replayed = model.apply(params, hvar, generated)
+        np.testing.assert_allclose(
+            np.asarray(replayed), np.asarray(generated), rtol=1e-4, atol=1e-4
+        )
+
+    def test_chunk_size_does_not_change_output(self):
+        # chunk_size is a scan-unroll factor; outputs must be identical
+        # (reference: tests/test_ar_decoder.py:143-165)
+        hvar = _rand(0, 1, 9, D)
+        outs = []
+        for chunk in (1, 3, 5):
+            cfg = DecoderConfig(
+                n_layers=2, n_heads=4, d_ff=64, dropout=0.1, max_len=128,
+                chunk_size=chunk,
+            )
+            model = PNCAARDecoder(D, MELS, cfg)
+            params = model.init(
+                jax.random.PRNGKey(0), hvar, jnp.zeros((1, 9, MELS))
+            )
+            outs.append(np.asarray(ar_decode(model, params, hvar)))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(outs[0], outs[2], rtol=1e-5, atol=1e-6)
+
+    def test_jit_compatible(self, model_params):
+        model, params = model_params
+        hvar = _rand(0, 2, 8, D)
+
+        @jax.jit
+        def decode(p, h):
+            return ar_decode(model, p, h, max_len=8)
+
+        out = decode(params, hvar)
+        assert out.shape == (2, 8, MELS)
+        out2 = decode(params, hvar)  # cached second call
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+
+    def test_memory_padding_mask_respected(self, model_params):
+        model, params = model_params
+        hvar = _rand(5, 1, 10, D)
+        mask = jnp.zeros((1, 10), bool).at[:, 7:].set(True)  # True = pad
+        # Zeroing padded memory rows must not change the result when they are
+        # masked out of cross-attention.
+        hvar_zeroed = hvar.at[:, 7:, :].set(123.0)
+        a = ar_decode(model, params, hvar, max_len=6, memory_key_padding_mask=mask)
+        b = ar_decode(
+            model, params, hvar_zeroed, max_len=6, memory_key_padding_mask=mask
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
