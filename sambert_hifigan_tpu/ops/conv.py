@@ -114,15 +114,20 @@ def avg_pool1d(
 
     x [B, T, C] -> [B, (T + 2*padding - kernel)//stride + 1, C].
     """
-    summed = lax.reduce_window(
+    # Implemented as a depthwise conv with a constant 1/k kernel: identical to
+    # torch's count_include_pad=True average (zero pad, fixed divisor), and
+    # cleanly reverse-differentiable under jit (lax.reduce_window's generic
+    # reducer is not).
+    c = x.shape[-1]
+    kernel = jnp.full((kernel_size, 1, c), 1.0 / kernel_size, x.dtype)
+    return lax.conv_general_dilated(
         x,
-        jnp.zeros((), x.dtype),
-        lax.add,
-        window_dimensions=(1, kernel_size, 1),
-        window_strides=(1, stride, 1),
-        padding=((0, 0), (padding, padding), (0, 0)),
+        kernel,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=c,
     )
-    return summed / kernel_size
 
 
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.1) -> jnp.ndarray:

@@ -1,0 +1,128 @@
+"""Acoustic-model training, one jitted step.
+
+The reference never implemented a trainer (spec tasks 24-25 unchecked,
+reference: .kiro/specs/tts-sam-bert-hifigan/tasks.md:315-402); the recipe
+below follows its config and test patterns: Adam-style optimizer at lr 1e-4
+with global-norm gradient clipping at 1.0
+(reference: configs/config.yaml:17-24), teacher-forced forward, AcousticLoss
+with masks threaded from the static-shape batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import LossWeights, TTSConfig
+from ..losses.acoustic import acoustic_loss
+from ..models.acoustic_model import SAMBERTAcousticModel
+from ..parallel.mesh import batch_sharding, replicated_sharding
+from .train_state import AcousticTrainState
+
+
+def make_acoustic_optimizer(cfg: TTSConfig) -> optax.GradientTransformation:
+    tr = cfg.training.acoustic
+    chain = []
+    if tr.gradient_clip is not None:
+        chain.append(optax.clip_by_global_norm(tr.gradient_clip))
+    chain.append(
+        optax.adamw(
+            tr.learning_rate, b1=tr.beta1, b2=tr.beta2, weight_decay=tr.weight_decay
+        )
+    )
+    return optax.chain(*chain)
+
+
+def init_acoustic_state(
+    model: SAMBERTAcousticModel,
+    cfg: TTSConfig,
+    rng,
+    tph: int = 16,
+    max_frames: int = 64,
+    batch: int = 1,
+) -> AcousticTrainState:
+    ph = jnp.zeros((batch, tph), jnp.int32)
+    mel = jnp.zeros((batch, max_frames, cfg.acoustic_model.n_mels))
+    dur = jnp.ones((batch, tph), jnp.int32)
+    params = model.init(rng, ph, ph, ph, mel, dur)
+    opt = make_acoustic_optimizer(cfg)
+    return AcousticTrainState(
+        params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32)
+    )
+
+
+def acoustic_train_step(
+    state: AcousticTrainState,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    *,
+    model: SAMBERTAcousticModel,
+    opt: optax.GradientTransformation,
+    weights: LossWeights = LossWeights(),
+) -> Tuple[AcousticTrainState, Dict[str, jnp.ndarray]]:
+    """batch keys: ph_ids, tone_ids, boundary_ids [B, Tph] int32;
+    dur_gt [B, Tph] int32; mel_gt [B, maxF, n_mels]; pitch_gt, energy_gt
+    [B, maxF]; phoneme_mask [B, Tph] bool; pitch_mask [B, maxF] bool
+    (voiced-frame mask, reference: models/losses.py:157-207)."""
+
+    def loss_fn(params):
+        out = model.apply(
+            params,
+            batch["ph_ids"],
+            batch["tone_ids"],
+            batch["boundary_ids"],
+            batch["mel_gt"],
+            batch["dur_gt"],
+            batch.get("pitch_gt"),
+            batch.get("energy_gt"),
+            batch.get("phoneme_mask"),
+            deterministic=False,
+            rngs={"dropout": rng},
+        )
+        total, metrics = acoustic_loss(
+            out.mel_pred,
+            batch["mel_gt"],
+            out.predictions["log_dur_pred"],
+            batch["dur_gt"],
+            out.predictions["pitch_frm"],
+            batch["pitch_gt"],
+            out.predictions["energy_frm"],
+            batch["energy_gt"],
+            mel_mask=out.frame_mask,
+            phoneme_mask=batch.get("phoneme_mask"),
+            pitch_mask=batch.get("pitch_mask"),
+            weights=weights,
+        )
+        return total, metrics
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return (
+        AcousticTrainState(params=params, opt_state=opt_state, step=state.step + 1),
+        metrics,
+    )
+
+
+def make_jitted_acoustic_step(
+    model: SAMBERTAcousticModel, cfg: TTSConfig, mesh=None
+) -> Callable:
+    opt = make_acoustic_optimizer(cfg)
+    step = functools.partial(
+        acoustic_train_step, model=model, opt=opt, weights=cfg.loss_weights
+    )
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,27 @@
+"""Train-state containers (flax.struct pytrees, donate-able under jit)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class AcousticTrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+@flax.struct.dataclass
+class VocoderTrainState:
+    """Two parameter trees + two optimizers, mirroring the reference's
+    AdamW(G) / AdamW(MSD+MPD) pair (reference: demo_ablation_modes.py:71-78)."""
+
+    g_params: Any
+    d_params: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    step: jnp.ndarray

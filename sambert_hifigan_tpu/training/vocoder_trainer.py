@@ -1,0 +1,185 @@
+"""HiFi-GAN GAN training, one jitted step.
+
+The reference's only "trainer" is an eager demo
+(reference: demo_ablation_modes.py:33-225): D-step on detached fake audio,
+optimizer step, then REGENERATE the fake audio and take the G-step against the
+just-updated discriminators.  That exact ordering is reproduced here inside a
+single jitted `train_step`:
+
+  1. wav_fake = G(mel)
+  2. d_grads on discriminate(wav_real, stop_gradient(wav_fake)) -> update D
+  3. wav_fake' = G(mel) again (same G params, reference regenerates too),
+     discriminate with the UPDATED D, generator loss per ablation mode
+     -> update G
+
+In mel_only mode the discriminator branch is skipped entirely
+(reference: demo_ablation_modes.py:107-119) but the metrics dict still carries
+the full key schema with zeros.
+
+Optimizers: AdamW(lr 2e-4, betas (0.8, 0.99)) for G and for MSD+MPD jointly
+(reference: demo_ablation_modes.py:71-78, configs/config.yaml:26-33; no
+gradient clipping for the vocoder).
+
+Scaling: the step is sharding-agnostic; `make_jitted_vocoder_step` binds it to
+a mesh with the batch sharded over 'data' and both states replicated — XLA
+inserts the gradient all-reduces over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import AudioConfig, LossWeights, TTSConfig, VocoderConfig
+from ..losses.vocoder import (
+    should_train_discriminator,
+    vocoder_discriminator_loss,
+    vocoder_generator_loss,
+)
+from ..models.hifigan import HiFiGAN
+from ..parallel.mesh import batch_sharding, replicated_sharding
+from .train_state import VocoderTrainState
+
+
+def make_vocoder_optimizers(cfg: TTSConfig):
+    tr = cfg.training.vocoder
+    g_opt = optax.adamw(
+        tr.learning_rate, b1=tr.beta1, b2=tr.beta2, weight_decay=tr.weight_decay
+    )
+    d_lr = tr.learning_rate_discriminator or tr.learning_rate
+    d_opt = optax.adamw(
+        d_lr, b1=tr.beta1, b2=tr.beta2, weight_decay=tr.weight_decay
+    )
+    return g_opt, d_opt
+
+
+def init_vocoder_state(
+    model: HiFiGAN, cfg: TTSConfig, rng, mel_frames: int = 32, batch: int = 1
+) -> VocoderTrainState:
+    mel = jnp.zeros((batch, cfg.audio.n_mels, mel_frames))
+    variables = model.init(rng, mel, method=HiFiGAN.init_all)
+    params = variables["params"]
+    g_params = {"params": {"generator": params["generator"]}}
+    d_params = {"params": {"msd": params["msd"], "mpd": params["mpd"]}}
+    g_opt, d_opt = make_vocoder_optimizers(cfg)
+    return VocoderTrainState(
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=g_opt.init(g_params),
+        d_opt_state=d_opt.init(d_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _discriminate(model: HiFiGAN, d_params, wav_real, wav_fake):
+    return model.apply(d_params, wav_real, wav_fake, method=HiFiGAN.discriminate)
+
+
+def _generate(model: HiFiGAN, g_params, mel):
+    return model.apply(g_params, mel)
+
+
+def vocoder_train_step(
+    state: VocoderTrainState,
+    mel: jnp.ndarray,  # [B, n_mels, Tfrm]
+    wav_real: jnp.ndarray,  # [B, 1, Tfrm * hop]
+    *,
+    model: HiFiGAN,
+    g_opt: optax.GradientTransformation,
+    d_opt: optax.GradientTransformation,
+    audio: AudioConfig,
+    loss_mode: str,
+    weights: LossWeights = LossWeights(),
+) -> Tuple[VocoderTrainState, Dict[str, jnp.ndarray]]:
+    metrics: Dict[str, jnp.ndarray] = {}
+    train_d = should_train_discriminator(loss_mode)
+
+    # ---- D step (reference: demo_ablation_modes.py:175-186) ----
+    d_params, d_opt_state = state.d_params, state.d_opt_state
+    if train_d:
+        wav_fake = jax.lax.stop_gradient(_generate(model, state.g_params, mel))
+
+        def d_loss_fn(dp):
+            (
+                msd_ro, _, msd_fo, _, mpd_ro, _, mpd_fo, _,
+            ) = _discriminate(model, dp, wav_real, wav_fake)
+            loss, d_metrics = vocoder_discriminator_loss(
+                list(msd_ro) + list(mpd_ro), list(msd_fo) + list(mpd_fo)
+            )
+            return loss, d_metrics
+
+        (d_loss, d_metrics), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            d_params
+        )
+        d_updates, d_opt_state = d_opt.update(d_grads, d_opt_state, d_params)
+        d_params = optax.apply_updates(d_params, d_updates)
+        metrics.update(d_metrics)
+    else:
+        metrics["disc_loss"] = jnp.zeros((), jnp.float32)
+
+    # ---- G step against the updated D (reference: demo_ablation_modes.py:194-210) ----
+    def g_loss_fn(gp):
+        wav_fake = _generate(model, gp, mel)
+        kwargs = {}
+        if train_d:
+            (
+                _, msd_rf, msd_fo, msd_ff, _, mpd_rf, mpd_fo, mpd_ff,
+            ) = _discriminate(model, d_params, wav_real, wav_fake)
+            kwargs["disc_fake_outputs"] = list(msd_fo) + list(mpd_fo)
+            if loss_mode == "adv_mel_fm":
+                kwargs["real_feature_maps"] = list(msd_rf) + list(mpd_rf)
+                kwargs["fake_feature_maps"] = list(msd_ff) + list(mpd_ff)
+        loss, g_metrics = vocoder_generator_loss(
+            wav_real, wav_fake, audio, loss_mode=loss_mode, weights=weights, **kwargs
+        )
+        return loss, g_metrics
+
+    (g_loss, g_metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        state.g_params
+    )
+    g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state, state.g_params)
+    g_params = optax.apply_updates(state.g_params, g_updates)
+    metrics.update(g_metrics)
+
+    new_state = VocoderTrainState(
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=g_opt_state,
+        d_opt_state=d_opt_state,
+        step=state.step + 1,
+    )
+    return new_state, metrics
+
+
+def make_jitted_vocoder_step(
+    model: HiFiGAN,
+    cfg: TTSConfig,
+    mesh=None,
+    loss_mode: Optional[str] = None,
+) -> Callable:
+    """Bind config and (optionally) a mesh; returns jitted
+    (state, mel, wav) -> (state, metrics) with donated state."""
+    g_opt, d_opt = make_vocoder_optimizers(cfg)
+    step = functools.partial(
+        vocoder_train_step,
+        model=model,
+        g_opt=g_opt,
+        d_opt=d_opt,
+        audio=cfg.audio,
+        loss_mode=loss_mode or cfg.vocoder.loss_mode,
+        weights=cfg.loss_weights,
+    )
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
