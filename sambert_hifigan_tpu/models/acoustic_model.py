@@ -65,6 +65,9 @@ class SAMBERTAcousticModel(nn.Module):
         energy_gt: Optional[jnp.ndarray] = None,
         phoneme_mask: Optional[jnp.ndarray] = None,  # bool [B, Tph] True = valid
         deterministic: bool = True,
+        duration_scale: float = 1.0,
+        pitch_shift: float = 0.0,
+        energy_scale: float = 1.0,
     ) -> VarianceAdaptorOutput:
         """Embedding -> encoder -> variance adaptor (everything before the AR
         decoder; reference stages 1-3, models/acoustic_model.py:236-254)."""
@@ -81,6 +84,9 @@ class SAMBERTAcousticModel(nn.Module):
             energy_gt=energy_gt,
             phoneme_mask=phoneme_mask,
             deterministic=deterministic,
+            duration_scale=duration_scale,
+            pitch_shift=pitch_shift,
+            energy_scale=energy_scale,
         )
 
     def __call__(
@@ -146,9 +152,12 @@ def acoustic_inference(
     max_frames: int,
     phoneme_mask: Optional[jnp.ndarray] = None,
     max_len: Optional[int] = None,
+    duration_scale: float = 1.0,
+    pitch_shift: float = 0.0,
+    energy_scale: float = 1.0,
 ) -> AcousticForwardOutput:
     """Full inference: predicted durations + autoregressive mel generation
-    (reference: models/acoustic_model.py:267-297).
+    (reference: models/acoustic_model.py:267-297), with prosody controls.
 
     Returns mel_pred [B, max_frames, n_mels] with frames beyond each sample's
     predicted total masked out.
@@ -166,6 +175,9 @@ def acoustic_inference(
         None,
         phoneme_mask,
         True,
+        duration_scale,
+        pitch_shift,
+        energy_scale,
         method=SAMBERTAcousticModel.encode,
     )
     decoder = PNCAARDecoder(

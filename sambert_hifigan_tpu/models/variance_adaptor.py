@@ -150,7 +150,15 @@ class VarianceAdaptor(nn.Module):
         energy_gt: Optional[jnp.ndarray] = None,  # [B, max_frames]
         phoneme_mask: Optional[jnp.ndarray] = None,  # bool [B, Tph], True = valid
         deterministic: bool = True,
+        duration_scale: float = 1.0,
+        pitch_shift: float = 0.0,
+        energy_scale: float = 1.0,
     ) -> VarianceAdaptorOutput:
+        """duration_scale / pitch_shift (Hz) / energy_scale are inference-time
+        prosody controls (semantics from reference docs/sam_bert_overview.md:
+        361-391 and docs/variance_adaptor_theory.md:448-505): slow/fast speech,
+        pitch transposition, loudness scaling.  No-ops at their defaults and
+        ignored whenever the corresponding ground truth is supplied."""
         c = self.config
         log_dur_pred = self.duration_predictor(
             henc, mask=None, deterministic=deterministic
@@ -159,7 +167,7 @@ class VarianceAdaptor(nn.Module):
         if dur_gt is not None:
             dur = dur_gt.astype(jnp.int32)
         else:
-            dur = jnp.round(jnp.exp(log_dur_pred)).astype(jnp.int32)
+            dur = jnp.round(jnp.exp(log_dur_pred) * duration_scale).astype(jnp.int32)
             dur = jnp.maximum(dur, 1)
             if phoneme_mask is not None:
                 dur = dur * phoneme_mask.astype(jnp.int32)
@@ -170,7 +178,7 @@ class VarianceAdaptor(nn.Module):
         # Pitch (reference: models/variance_adaptor.py:359-425)
         pitch_tok = self.pitch_predictor(henc, None, deterministic)  # [B, Tph]
         pitch_frm = gather_frames(pitch_tok, idx, frame_mask)  # [B, max_frames]
-        pitch_for_emb = pitch_gt if pitch_gt is not None else pitch_frm
+        pitch_for_emb = pitch_gt if pitch_gt is not None else pitch_frm + pitch_shift
         pitch_bins = quantize_pitch(
             pitch_for_emb, c.pitch_bins, c.pitch_min, c.pitch_max
         )
@@ -179,7 +187,9 @@ class VarianceAdaptor(nn.Module):
         # Energy (reference: models/variance_adaptor.py:515-581)
         energy_tok = self.energy_predictor(henc, None, deterministic)
         energy_frm = gather_frames(energy_tok, idx, frame_mask)
-        energy_for_emb = energy_gt if energy_gt is not None else energy_frm
+        energy_for_emb = (
+            energy_gt if energy_gt is not None else energy_frm * energy_scale
+        )
         energy_bins = quantize_energy(
             energy_for_emb, c.energy_bins, c.energy_min, c.energy_max
         )
