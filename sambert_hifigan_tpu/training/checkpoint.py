@@ -30,7 +30,10 @@ class CheckpointManager:
         self.directory.mkdir(parents=True, exist_ok=True)
         self.audio = audio
         self.keep = keep
-        self._ckptr = ocp.StandardCheckpointer()
+        # Synchronous checkpointer: orbax's AsyncCheckpointer trips a
+        # "cannot schedule new futures after shutdown" on repeated saves
+        # under Python 3.12 in this image.
+        self._ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
 
     def _step_dir(self, step: int) -> Path:
         return self.directory / f"step_{step:09d}"

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Train the SAM-BERT acoustic model (the reference's unimplemented task 25,
+reference: .kiro/specs/tts-sam-bert-hifigan/tasks.md:324-331).
+
+Usage:
+  python scripts/train_acoustic.py --metadata data/train/metadata.csv \
+      [--steps 200000] [--batch-size 16] [--checkpoint-dir checkpoints/acoustic] [--resume]
+  python scripts/train_acoustic.py --synthetic 20       # smoke run, no data
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--metadata", type=str, default=None)
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--model-config", type=str, default=None)
+    p.add_argument("--steps", type=int, default=200000)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--checkpoint-dir", type=str, default=None)
+    p.add_argument("--log-dir", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    from sambert_hifigan_tpu.config import load_config, default_config
+    from sambert_hifigan_tpu.data.dataset import TTSDataset, synthetic_batch
+    from sambert_hifigan_tpu.models.acoustic_model import SAMBERTAcousticModel
+    from sambert_hifigan_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from sambert_hifigan_tpu.training.acoustic_trainer import (
+        init_acoustic_state,
+        make_jitted_acoustic_step,
+    )
+    from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
+    from sambert_hifigan_tpu.training.metrics import MetricsWriter
+
+    args = parse_args()
+    cfg = (
+        load_config(args.config, args.model_config)
+        if args.config
+        else default_config()
+    )
+    batch_size = args.batch_size or cfg.training.acoustic.batch_size
+    mesh = create_mesh()
+    n_dev = mesh.devices.size
+    if batch_size % n_dev:
+        batch_size = max(n_dev, batch_size - batch_size % n_dev)
+        print(f"[train_acoustic] batch rounded to {batch_size} for {n_dev} devices")
+
+    model = SAMBERTAcousticModel(cfg.acoustic_model)
+    state = init_acoustic_state(model, cfg, jax.random.PRNGKey(args.seed))
+    ckpt_dir = args.checkpoint_dir or f"{cfg.paths.checkpoint_dir}/acoustic"
+    ckpt = CheckpointManager(ckpt_dir, cfg.audio)
+    start_step = 0
+    if args.resume and ckpt.latest_step() is not None:
+        state, start_step = ckpt.restore(state)
+        print(f"[train_acoustic] resumed from step {start_step}")
+    state = replicate(state, mesh)
+    step_fn = make_jitted_acoustic_step(model, cfg, mesh=mesh)
+
+    if args.synthetic:
+        def gen():
+            for i in itertools.count():
+                yield synthetic_batch(cfg, batch_size, tph=16, tfrm=64, seed=args.seed + i)
+        batches = gen()
+        total_steps = args.synthetic
+    else:
+        if not args.metadata:
+            raise SystemExit("--metadata or --synthetic required")
+        ds = TTSDataset(args.metadata, cfg)
+        def epochs():
+            for epoch in itertools.count():
+                yield from ds.batches(batch_size, seed=args.seed + epoch)
+        batches = epochs()
+        total_steps = args.steps
+
+    writer = MetricsWriter(args.log_dir or cfg.paths.log_dir, "acoustic")
+    rng = jax.random.PRNGKey(args.seed + 1)
+    log_interval = cfg.training.acoustic.log_interval
+    save_interval = cfg.training.acoustic.save_interval
+    for i in range(start_step, total_steps):
+        batch = {k: jnp.asarray(v) for k, v in next(batches).items()
+                 if k != "frame_lengths"}
+        batch = shard_batch(batch, mesh)
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        if (i + 1) % log_interval == 0 or i == start_step:
+            host = writer.write(i + 1, metrics)
+            print(writer.summary_line(i + 1, host,
+                                      ["total_loss", "mel_loss", "dur_loss"]))
+        if (i + 1) % save_interval == 0:
+            ckpt.save(i + 1, jax.device_get(state))
+    ckpt.save(total_steps, jax.device_get(state))
+    print(f"[train_acoustic] done at step {total_steps}; checkpoints in {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Train the HiFi-GAN vocoder (the reference's unimplemented task 24,
+reference: .kiro/specs/tts-sam-bert-hifigan/tasks.md:315-322).
+
+Usage:
+  python scripts/train_vocoder.py --metadata data/train/metadata.csv \
+      [--loss-mode adv_mel_fm] [--steps 100000] [--batch-size 16] \
+      [--segment-frames 32] [--checkpoint-dir checkpoints/vocoder] [--resume]
+  python scripts/train_vocoder.py --synthetic 20        # smoke run, no data
+
+Data-parallel over all visible devices; checkpoints carry the mel fingerprint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--metadata", type=str, default=None)
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--model-config", type=str, default=None)
+    p.add_argument("--loss-mode", type=str, default=None,
+                   choices=["mel_only", "adv_mel", "adv_mel_fm"])
+    p.add_argument("--steps", type=int, default=100000)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--segment-frames", type=int, default=32)
+    p.add_argument("--checkpoint-dir", type=str, default=None)
+    p.add_argument("--log-dir", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="run N steps on synthetic data (smoke test)")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def synthetic_pairs(batch, frames, hop, seed=0):
+    rng = np.random.default_rng(seed)
+    while True:
+        mel = rng.standard_normal((batch, 80, frames)).astype(np.float32)
+        wav = (rng.standard_normal((batch, 1, frames * hop)) * 0.1).astype(np.float32)
+        yield mel, wav
+
+
+def main():
+    from sambert_hifigan_tpu.config import load_config, default_config
+    from sambert_hifigan_tpu.data.dataset import (
+        TTSDataset,
+        vocoder_batches_from_dataset,
+    )
+    from sambert_hifigan_tpu.models.hifigan import HiFiGAN
+    from sambert_hifigan_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
+    from sambert_hifigan_tpu.training.metrics import MetricsWriter
+    from sambert_hifigan_tpu.training.vocoder_trainer import (
+        init_vocoder_state,
+        make_jitted_vocoder_step,
+    )
+
+    args = parse_args()
+    cfg = (
+        load_config(args.config, args.model_config)
+        if args.config
+        else default_config()
+    )
+    loss_mode = args.loss_mode or cfg.vocoder.loss_mode
+    batch_size = args.batch_size or cfg.training.vocoder.batch_size
+    hop = cfg.audio.hop_length
+
+    mesh = create_mesh()
+    n_dev = mesh.devices.size
+    if batch_size % n_dev:
+        batch_size = max(n_dev, batch_size - batch_size % n_dev)
+        print(f"[train_vocoder] batch rounded to {batch_size} for {n_dev} devices")
+
+    model = HiFiGAN(cfg.vocoder)
+    state = init_vocoder_state(
+        model, cfg, jax.random.PRNGKey(args.seed), mel_frames=args.segment_frames
+    )
+    ckpt_dir = args.checkpoint_dir or f"{cfg.paths.checkpoint_dir}/vocoder"
+    ckpt = CheckpointManager(ckpt_dir, cfg.audio)
+    start_step = 0
+    if args.resume and ckpt.latest_step() is not None:
+        state, start_step = ckpt.restore(state)
+        print(f"[train_vocoder] resumed from step {start_step}")
+    state = replicate(state, mesh)
+    step_fn = make_jitted_vocoder_step(model, cfg, mesh=mesh, loss_mode=loss_mode)
+
+    if args.synthetic:
+        batches = synthetic_pairs(batch_size, args.segment_frames, hop, args.seed)
+        total_steps = args.synthetic
+    else:
+        if not args.metadata:
+            raise SystemExit("--metadata or --synthetic required")
+        ds = TTSDataset(args.metadata, cfg)
+        def epochs():
+            for epoch in itertools.count():
+                yield from vocoder_batches_from_dataset(
+                    ds, batch_size, args.segment_frames, seed=args.seed + epoch
+                )
+        batches = epochs()
+        total_steps = args.steps
+
+    writer = MetricsWriter(args.log_dir or cfg.paths.log_dir, "vocoder")
+    log_interval = cfg.training.vocoder.log_interval
+    save_interval = cfg.training.vocoder.save_interval
+    for i in range(start_step, total_steps):
+        mel, wav = next(batches)
+        mel, wav = shard_batch((jnp.asarray(mel), jnp.asarray(wav)), mesh)
+        state, metrics = step_fn(state, mel, wav)
+        if (i + 1) % log_interval == 0 or i == start_step:
+            host = writer.write(i + 1, metrics)
+            print(writer.summary_line(i + 1, host,
+                                      ["gen_loss", "gen_mel_loss", "disc_loss"]))
+        if (i + 1) % save_interval == 0:
+            ckpt.save(i + 1, jax.device_get(state))
+    ckpt.save(total_steps, jax.device_get(state))
+    print(f"[train_vocoder] done at step {total_steps}; checkpoints in {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()
