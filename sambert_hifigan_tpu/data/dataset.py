@@ -95,12 +95,24 @@ class TTSDataset:
         ).hexdigest()[:16]
         return self.cache_dir / f"{Path(utt.wav_path).stem}_{h}.npz"
 
+    def _read_wav(self, path) -> tuple:
+        """Native C++ decode when available (no-GIL, threaded preprocessing);
+        numpy fallback otherwise."""
+        from .native_loader import load_wav_native, native_available
+
+        if native_available():
+            try:
+                return load_wav_native(path)
+            except (ValueError, RuntimeError):
+                pass
+        return load_wav(path)
+
     def load_features(self, utt: Utterance) -> Dict[str, np.ndarray]:
         cache = self._cache_key(utt)
         if cache.exists():
             z = np.load(cache)
             return {k: z[k] for k in z.files}
-        wav, sr = load_wav(self.root / utt.wav_path)
+        wav, sr = self._read_wav(self.root / utt.wav_path)
         if sr != self.audio.sample_rate:
             from ..ops.mel import resample
 
