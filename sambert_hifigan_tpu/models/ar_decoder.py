@@ -126,6 +126,202 @@ class PNCAARDecoder(nn.Module):
         return mel_t, new_caches
 
 
+class DecodeParams(NamedTuple):
+    """Decoder weights extracted from the flax param tree and packed for the
+    scan body: per-layer tensors stacked on a leading L axis, self-attention
+    Q/K/V fused into one [L, d, 3d] matmul.  Packing happens once per trace
+    (outside the scan), so each decode step runs the minimum number of ops —
+    the step is weight-streaming-bound on TPU, and fewer/larger matmuls keep
+    the MXU pipeline busy."""
+
+    prenet_w1: jnp.ndarray  # [n_mels, d]
+    prenet_b1: jnp.ndarray
+    prenet_w2: jnp.ndarray  # [d, d]
+    prenet_b2: jnp.ndarray
+    wqkv: jnp.ndarray  # [L, d, 3d]
+    bqkv: jnp.ndarray  # [L, 3d]
+    wo: jnp.ndarray  # [L, d, d]
+    bo: jnp.ndarray  # [L, d]
+    wcq: jnp.ndarray  # [L, d, d]
+    bcq: jnp.ndarray
+    wco: jnp.ndarray  # [L, d, d]
+    bco: jnp.ndarray
+    w1: jnp.ndarray  # [L, d, ff]
+    b1: jnp.ndarray
+    w2: jnp.ndarray  # [L, ff, d]
+    b2: jnp.ndarray
+    ln: jnp.ndarray  # [L, 3, 2, d]  (norm index, scale/bias, d)
+    mel_w: jnp.ndarray  # [d, n_mels]
+    mel_b: jnp.ndarray
+    pe: jnp.ndarray  # [max_len, d]
+
+
+def extract_decode_params(model: PNCAARDecoder, params) -> DecodeParams:
+    p = params["params"]
+    n_layers = model.config.n_layers
+    dt = model.dtype
+
+    def stack(path):
+        return jnp.stack([path(p[f"layer_{l}"]) for l in range(n_layers)]).astype(dt)
+
+    wqkv = stack(
+        lambda q: jnp.concatenate(
+            [q["self_attn"]["wq"], q["self_attn"]["wk"], q["self_attn"]["wv"]],
+            axis=-1,
+        )
+    )
+    bqkv = stack(
+        lambda q: jnp.concatenate(
+            [q["self_attn"]["bq"], q["self_attn"]["bk"], q["self_attn"]["bv"]],
+            axis=-1,
+        )
+    )
+    ln = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            p[f"layer_{l}"][f"norm{i}"]["scale"],
+                            p[f"layer_{l}"][f"norm{i}"]["bias"],
+                        ]
+                    )
+                    for i in (1, 2, 3)
+                ]
+            )
+            for l in range(n_layers)
+        ]
+    ).astype(jnp.float32)
+    return DecodeParams(
+        prenet_w1=p["prenet1"]["kernel"].astype(dt),
+        prenet_b1=p["prenet1"]["bias"].astype(dt),
+        prenet_w2=p["prenet2"]["kernel"].astype(dt),
+        prenet_b2=p["prenet2"]["bias"].astype(dt),
+        wqkv=wqkv,
+        bqkv=bqkv,
+        wo=stack(lambda q: q["self_attn"]["wo"]),
+        bo=stack(lambda q: q["self_attn"]["bo"]),
+        wcq=stack(lambda q: q["cross_attn"]["wq"]),
+        bcq=stack(lambda q: q["cross_attn"]["bq"]),
+        wco=stack(lambda q: q["cross_attn"]["wo"]),
+        bco=stack(lambda q: q["cross_attn"]["bo"]),
+        w1=stack(lambda q: q["ffn"]["linear1"]["kernel"]),
+        b1=stack(lambda q: q["ffn"]["linear1"]["bias"]),
+        w2=stack(lambda q: q["ffn"]["linear2"]["kernel"]),
+        b2=stack(lambda q: q["ffn"]["linear2"]["bias"]),
+        ln=ln,
+        mel_w=p["mel_proj"]["kernel"].astype(dt),
+        mel_b=p["mel_proj"]["bias"].astype(dt),
+        # recomputed (not read off the module: setup() attrs are unavailable
+        # on an unbound module)
+        pe=sinusoidal_positional_encoding(model.config.max_len, model.d_model),
+    )
+
+
+def _layer_norm(x: jnp.ndarray, scale_bias: jnp.ndarray, eps: float = 1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale_bias[0] + scale_bias[1]).astype(x.dtype)
+
+
+def precompute_memory_packed(model: PNCAARDecoder, params, hvar: jnp.ndarray):
+    """Stacked cross-attention K/V: [L, B, S, H, dh] each."""
+    p = params["params"]
+    dt = model.dtype
+    h = model.config.n_heads
+    b, s, d = hvar.shape
+    ks, vs = [], []
+    x = hvar.astype(dt)
+    for l in range(model.config.n_layers):
+        ca = p[f"layer_{l}"]["cross_attn"]
+        k = (x @ ca["wk"].astype(dt) + ca["bk"].astype(dt)).reshape(b, s, h, d // h)
+        v = (x @ ca["wv"].astype(dt) + ca["bv"].astype(dt)).reshape(b, s, h, d // h)
+        ks.append(k)
+        vs.append(v)
+    return jnp.stack(ks), jnp.stack(vs)
+
+
+def ar_decode_packed(
+    model: PNCAARDecoder,
+    params,
+    hvar: jnp.ndarray,
+    max_len: Optional[int] = None,
+    memory_key_padding_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Fast AR decode: one lax.scan over a pure-array step built from packed
+    weights.  Numerically identical to the module path (same op order per
+    layer); the module path remains the reference implementation."""
+    b, tfrm, d = hvar.shape
+    if max_len is None:
+        max_len = tfrm
+    cfg = model.config
+    h = cfg.n_heads
+    dh = d // h
+    L = cfg.n_layers
+    dt = model.dtype
+    dp = extract_decode_params(model, params)
+    mem_k, mem_v = precompute_memory_packed(model, params, hvar)
+    neg = jnp.float32(-1e9)
+    mem_bias = None
+    if memory_key_padding_mask is not None:
+        mem_bias = jnp.where(memory_key_padding_mask[:, None, :], neg, 0.0)
+
+    cache_k = jnp.zeros((L, b, max_len, h, dh), dt)
+    cache_v = jnp.zeros((L, b, max_len, h, dh), dt)
+    pos_idx = jnp.arange(max_len)
+
+    def step(carry, pos):
+        prev_mel, ck, cv = carry
+        x = jax.nn.relu(prev_mel @ dp.prenet_w1 + dp.prenet_b1)
+        x = x @ dp.prenet_w2 + dp.prenet_b2
+        x = x + dp.pe[pos].astype(x.dtype)
+        for l in range(L):
+            # self-attention with KV cache
+            qkv = x @ dp.wqkv[l] + dp.bqkv[l]  # [B, 3d]
+            q, k_t, v_t = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b, h, dh)
+            ck = jax.lax.dynamic_update_slice(
+                ck, k_t.reshape(1, b, 1, h, dh), (l, 0, pos, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v_t.reshape(1, b, 1, h, dh), (l, 0, pos, 0, 0)
+            )
+            scores = jnp.einsum("bhd,bshd->bhs", q, ck[l]).astype(jnp.float32)
+            scores = scores / jnp.sqrt(jnp.float32(dh))
+            scores = jnp.where(pos_idx[None, None, :] > pos, neg, scores)
+            w = jax.nn.softmax(scores, axis=-1).astype(dt)
+            sa = jnp.einsum("bhs,bshd->bhd", w, cv[l]).reshape(b, d)
+            sa = sa @ dp.wo[l] + dp.bo[l]
+            x = _layer_norm(x + sa, dp.ln[l, 0])
+            # cross-attention to precomputed memory
+            cq = (x @ dp.wcq[l] + dp.bcq[l]).reshape(b, h, dh)
+            cs = jnp.einsum("bhd,bshd->bhs", cq, mem_k[l]).astype(jnp.float32)
+            cs = cs / jnp.sqrt(jnp.float32(dh))
+            if mem_bias is not None:
+                cs = cs + mem_bias
+            cw = jax.nn.softmax(cs, axis=-1).astype(dt)
+            ca = jnp.einsum("bhs,bshd->bhd", cw, mem_v[l]).reshape(b, d)
+            ca = ca @ dp.wco[l] + dp.bco[l]
+            x = _layer_norm(x + ca, dp.ln[l, 1])
+            # FFN
+            ff = jax.nn.relu(x @ dp.w1[l] + dp.b1[l]) @ dp.w2[l] + dp.b2[l]
+            x = _layer_norm(x + ff, dp.ln[l, 2])
+        mel_t = x @ dp.mel_w + dp.mel_b
+        return (mel_t, ck, cv), mel_t
+
+    init_mel = jnp.zeros((b, model.n_mels), dt)
+    unroll = max(1, int(cfg.chunk_size))
+    (_, _, _), mels = jax.lax.scan(
+        step,
+        (init_mel, cache_k, cache_v),
+        jnp.arange(max_len, dtype=jnp.int32),
+        unroll=unroll,
+    )
+    return jnp.swapaxes(mels, 0, 1)
+
+
 def init_decoder_caches(
     config: DecoderConfig, d_model: int, batch: int, max_len: int, dtype=jnp.float32
 ) -> List[KVCache]:
@@ -140,18 +336,28 @@ def init_decoder_caches(
 def ar_decode(
     model: PNCAARDecoder,
     params,
+    hvar: jnp.ndarray,
+    max_len: Optional[int] = None,
+    memory_key_padding_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Autoregressive mel generation as one lax.scan (packed fast path).
+
+    Starts from a zero frame, generates max_len frames, and (unlike the
+    reference, which re-encodes the growing prefix every step,
+    models/ar_decoder.py:191-233) carries all state in per-layer KV caches.
+    """
+    return ar_decode_packed(model, params, hvar, max_len, memory_key_padding_mask)
+
+
+def ar_decode_module(
+    model: PNCAARDecoder,
+    params,
     hvar: jnp.ndarray,  # [B, Tfrm, d]
     max_len: Optional[int] = None,
     memory_key_padding_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Autoregressive mel generation as one lax.scan.
-
-    Starts from a zero frame, generates max_len frames, and (unlike the
-    reference, which concatenates and then drops the start frame,
-    models/ar_decoder.py:191-233) never materializes the growing prefix: the
-    per-layer KV cache carries all state.  `config.chunk_size` unrolls the
-    scan body, trading compile time for fewer loop iterations on TPU.
-    """
+    """Reference scan implementation through the flax module's decode_step
+    (kept as the equivalence baseline for ar_decode_packed)."""
     b, tfrm, d = hvar.shape
     if max_len is None:
         max_len = tfrm

@@ -83,6 +83,22 @@ class TestTeacherForcing:
 
 
 class TestARDecode:
+    def test_packed_equals_module_path(self, model_params):
+        """The packed pure-array scan must match the flax-module scan
+        (same math, repacked weights)."""
+        from sambert_hifigan_tpu.models.ar_decoder import ar_decode_module
+
+        model, params = model_params
+        hvar = _rand(9, 2, 10, D)
+        mask = jnp.zeros((2, 10), bool).at[:, 8:].set(True)
+        fast = ar_decode(model, params, hvar, max_len=10, memory_key_padding_mask=mask)
+        ref = ar_decode_module(
+            model, params, hvar, max_len=10, memory_key_padding_mask=mask
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
     def test_output_length_equals_max_len(self, model_params):
         # (reference: tests/test_ar_decoder.py:57-140)
         model, params = model_params

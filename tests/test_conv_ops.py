@@ -169,6 +169,48 @@ class TestWeightNorm:
         np.testing.assert_allclose(ours2, 2 * v, rtol=1e-5, atol=1e-5)
 
 
+class TestFoldedConv:
+    @pytest.mark.parametrize(
+        "c,k,d,fold,t",
+        [
+            (32, 3, 1, 4, 128),
+            (32, 11, 5, 4, 256),   # MRF k=11 dil=5 at C=32
+            (64, 7, 3, 2, 128),
+            (32, 3, 5, 4, 64),
+            (16, 11, 1, 8, 64),
+        ],
+    )
+    def test_exactness_vs_conv1d(self, c, k, d, fold, t):
+        from sambert_hifigan_tpu.ops.conv import folded_conv1d
+
+        rng = np.random.default_rng(c + k)
+        x = jnp.asarray(rng.standard_normal((2, t, c)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, c, c)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        p = get_padding(k, d)
+        plain = np.asarray(conv1d(x, w, b, padding=p, dilation=d))
+        folded = np.asarray(
+            folded_conv1d(x, w, b, padding=p, dilation=d, fold=fold)
+        )
+        np.testing.assert_allclose(folded, plain, rtol=1e-4, atol=1e-4)
+
+    def test_fold_one_is_identity_path(self):
+        from sambert_hifigan_tpu.ops.conv import folded_conv1d
+
+        x = jnp.ones((1, 16, 8))
+        w = jnp.ones((3, 8, 8))
+        np.testing.assert_allclose(
+            np.asarray(folded_conv1d(x, w, padding=1, fold=1)),
+            np.asarray(conv1d(x, w, padding=1)),
+        )
+
+    def test_indivisible_t_raises(self):
+        from sambert_hifigan_tpu.ops.conv import folded_conv1d
+
+        with pytest.raises(ValueError):
+            folded_conv1d(jnp.ones((1, 10, 8)), jnp.ones((3, 8, 8)), padding=1, fold=4)
+
+
 class TestMisc:
     def test_leaky_relu_matches_torch(self):
         x = _np(0, 128)
