@@ -333,19 +333,66 @@ def init_decoder_caches(
     ]
 
 
+def _pallas_decode_wanted(model: PNCAARDecoder, batch: int) -> bool:
+    import os
+
+    flag = os.getenv("SAMBERT_PALLAS_DECODE", "auto")
+    if flag == "0":
+        return False
+    on_tpu = jax.default_backend() == "tpu"
+    eligible = (
+        batch == 1
+        and model.d_model % model.config.n_heads == 0
+        and model.d_model >= 128  # lane-width floor for the head-fold trick
+    )
+    if flag == "1":
+        return eligible
+    return on_tpu and eligible
+
+
 def ar_decode(
     model: PNCAARDecoder,
     params,
     hvar: jnp.ndarray,
     max_len: Optional[int] = None,
     memory_key_padding_mask: Optional[jnp.ndarray] = None,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Autoregressive mel generation as one lax.scan (packed fast path).
+    """Autoregressive mel generation.
 
     Starts from a zero frame, generates max_len frames, and (unlike the
     reference, which re-encodes the growing prefix every step,
     models/ar_decoder.py:191-233) carries all state in per-layer KV caches.
+
+    Two engines, identical math:
+      * batch == 1 on TPU: the Pallas mega-kernel (ops/pallas/decode_kernel)
+        runs the whole loop on-chip — VMEM-resident caches, double-buffered
+        weight streaming, no per-step dispatch overhead;
+      * otherwise: a lax.scan over packed weights (weight streaming amortizes
+        across the batch there).
+    Override with use_pallas or SAMBERT_PALLAS_DECODE=0/1/auto.
     """
+    b = hvar.shape[0]
+    if max_len is None:
+        max_len = hvar.shape[1]
+    if use_pallas is None:
+        use_pallas = _pallas_decode_wanted(model, b)
+    if use_pallas and b == 1:
+        from ..ops.pallas.decode_kernel import pallas_ar_decode
+
+        dp = extract_decode_params(model, params)
+        mem_k, mem_v = precompute_memory_packed(model, params, hvar)
+        out = pallas_ar_decode(
+            dp,
+            mem_k,
+            mem_v,
+            max_len,
+            memory_key_padding_mask,
+            n_heads=model.config.n_heads,
+            n_mels=model.n_mels,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return out.astype(hvar.dtype)
     return ar_decode_packed(model, params, hvar, max_len, memory_key_padding_mask)
 
 

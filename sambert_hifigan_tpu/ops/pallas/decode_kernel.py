@@ -1,0 +1,381 @@
+"""Pallas mega-kernel: the ENTIRE autoregressive mel decode loop on-chip.
+
+Why: the XLA scan path costs ~90 us/frame, and profiling shows it is
+op-dispatch bound — ~150 small HLO ops per step at ~0.5-1 us each (removing
+the FFN, 80%% of the FLOPs/weights, saves only 8%%).  This kernel runs the
+whole T-step, L-layer decode as ONE Pallas program:
+
+  * KV caches ([L, T, d] bf16) and the cross-attention memory K/V live in
+    VMEM for the entire decode — zero HBM cache traffic,
+  * per-layer weight matrices stream HBM -> VMEM through a 2-slot
+    double-buffered DMA pipeline that runs one layer ahead of compute,
+  * all per-step ops execute back-to-back on the VPU/MXU with no XLA loop
+    or dispatch machinery.
+
+HBM traffic collapses to the irreducible weight stream (T * 16.5 MB), which
+double-buffering overlaps with compute.
+
+Head-folded attention (B = 1, d = 256 = 8 heads x 32): with lanes packed
+h-major, scores for all heads come from one VPU multiply + one [T, d] @ G
+matmul where G[c, h] = 1 iff lane c belongs to head h; the weighted value sum
+is the transpose trick with G^T.  No per-head loops, no tiny matmuls.
+
+Numerics match ar_decode_packed: bf16 matmul inputs with f32 accumulation,
+f32 softmax and LayerNorm.  Batch 1 only (the latency path); larger batches
+use the XLA scan, which already amortizes weight streaming across the batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUB = 8  # sublane tile for row vectors
+
+
+def _head_group_matrix(d: int, n_heads: int, pad_to: int = 128) -> np.ndarray:
+    """G [d, pad_to]: G[c, h] = 1 iff lane c is in head h (h-major lanes);
+    columns beyond n_heads are zero (lane padding for the VPU/MXU — the extra
+    score columns are inert because G^T's corresponding rows are zero)."""
+    dh = d // n_heads
+    g = np.zeros((d, max(n_heads, pad_to)), np.float32)
+    for h in range(n_heads):
+        g[h * dh : (h + 1) * dh, h] = 1.0
+    return g
+
+
+def _decode_kernel(
+    # --- scalar prefetch ---
+    n_steps_ref,  # [1] int32 (actual steps to run; buffers sized T)
+    # --- VMEM operands ---
+    biases_ref,  # [L, 8, ff] f32: rows 0..5 = bqkv(768) | bo | bcq | bco | b1(2048) | b2, zero-padded to ff lanes
+    ln_ref,  # [L*3*2, d] f32
+    prenet_w1_ref,  # [n_mels_pad, d] bf16 (80 -> padded rows)
+    prenet_w2_ref,  # [d, d] bf16
+    prenet_b_ref,  # [2, d] f32 (b1, b2)
+    mel_w_ref,  # [d, n_mels_pad] bf16
+    mel_b_ref,  # [1, n_mels_pad] f32
+    pe_ref,  # [T, d] f32
+    g_ref,  # [d, 128] bf16 head-group matrix (lane-padded)
+    mem_bias_ref,  # [S, 1] f32 additive cross-attention bias (-1e9 on pads)
+    # --- HBM operands (streamed / resident) ---
+    wqkv_hbm,  # [L, d, 3d] bf16
+    wo_hbm,  # [L, d, d]
+    wcq_hbm,  # [L, d, d]
+    wco_hbm,  # [L, d, d]
+    w1_hbm,  # [L, d, ff]
+    w2_hbm,  # [L, ff, d]
+    mem_k_hbm,  # [L, S, d] bf16
+    mem_v_hbm,  # [L, S, d] bf16
+    # --- output ---
+    out_ref,  # [T, n_mels_pad] f32
+    # --- scratch ---
+    kcache,  # [L, T, d] bf16
+    vcache,  # [L, T, d] bf16
+    memk,  # [L, S, d] bf16
+    memv,  # [L, S, d] bf16
+    wqkv_s,  # [2, d, 3d] bf16
+    wo_s,  # [2, d, d]
+    wcq_s,  # [2, d, d]
+    wco_s,  # [2, d, d]
+    w1_s,  # [2, d, ff]
+    w2_s,  # [2, ff, d]
+    mel_s,  # [SUB, n_mels_pad] f32 (carries prev mel frame)
+    w_sems,  # DMA sems [2, 6]
+    m_sems,  # DMA sems [2]
+    *,
+    L: int,
+    T: int,
+    S: int,
+    D: int,
+    H: int,
+    FF: int,
+    NMEL: int,
+):
+    DH = D // H
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    neg = f32(-1e9)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+
+    def weight_dma(slot, l):
+        return [
+            pltpu.make_async_copy(src.at[l], dst.at[slot], w_sems.at[slot, i])
+            for i, (src, dst) in enumerate(
+                [
+                    (wqkv_hbm, wqkv_s),
+                    (wo_hbm, wo_s),
+                    (wcq_hbm, wcq_s),
+                    (wco_hbm, wco_s),
+                    (w1_hbm, w1_s),
+                    (w2_hbm, w2_s),
+                ]
+            )
+        ]
+
+    # Preload memory K/V into VMEM (resident for the whole decode).
+    mk_dma = pltpu.make_async_copy(mem_k_hbm, memk, m_sems.at[0])
+    mv_dma = pltpu.make_async_copy(mem_v_hbm, memv, m_sems.at[1])
+    mk_dma.start()
+    mv_dma.start()
+
+    # Zero state.
+    mel_s[:] = jnp.zeros((SUB, NMEL), f32)
+    kcache[:] = jnp.zeros((L, T, D), bf16)
+    vcache[:] = jnp.zeros((L, T, D), bf16)
+
+    # Warm the weight pipeline with layer 0.
+    for dma in weight_dma(0, 0):
+        dma.start()
+
+    mk_dma.wait()
+    mv_dma.wait()
+
+    def ln(x32, idx):
+        # x32 [SUB, D] f32; ln_ref rows: [scale, bias] at 2*idx, 2*idx+1
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        return y * ln_ref[2 * idx, :] + ln_ref[2 * idx + 1, :]
+
+    def attend(q32, keys, values, bias_col, pos):
+        """q32 [SUB, D] f32 (row 0 live), keys/values [T, D] bf16,
+        bias_col [T, 1] f32 additive (or None -> causal mask vs pos).
+        Returns [SUB, D] f32 attention output in row 0."""
+        qrow = (q32[0:1, :] / np.sqrt(DH)).astype(bf16)  # [1, D]
+        prod = (keys * qrow).astype(bf16)  # [T, D] broadcast over rows
+        scores = jnp.dot(prod, g_ref[:], preferred_element_type=f32)
+        # scores [T, H] f32
+        if bias_col is None:
+            mask = (t_iota > pos).astype(f32) * neg
+            scores = scores + mask
+        else:
+            scores = scores + bias_col
+        m = jnp.max(scores, axis=0, keepdims=True)
+        e = jnp.exp(scores - m)
+        s = jnp.sum(e, axis=0, keepdims=True)
+        w = (e / s).astype(bf16)  # [T, H]
+        wexp = jnp.dot(w, g_ref[:].T, preferred_element_type=f32)
+        # wexp [T, D] f32 -> weighted sum of values over T
+        o = jnp.sum(wexp * values.astype(f32), axis=0, keepdims=True)  # [1, D]
+        # broadcast instead of scatter (Mosaic has no scatter); rows 1..SUB-1
+        # are dead padding everywhere downstream
+        return jnp.broadcast_to(o, (SUB, D))
+
+    def matmul(x32, w_ref, rows=SUB):
+        return jnp.dot(
+            x32.astype(bf16), w_ref[:], preferred_element_type=f32
+        )
+
+    def step(t, _):
+        # prenet on the previous mel frame
+        x = jnp.dot(
+            mel_s[:].astype(bf16), prenet_w1_ref[:NMEL, :],
+            preferred_element_type=f32,
+        )
+        x = jnp.maximum(x + prenet_b_ref[0:1, :], 0.0)
+        x = jnp.dot(x.astype(bf16), prenet_w2_ref[:], preferred_element_type=f32)
+        x = x + prenet_b_ref[1:2, :]
+        # dynamic single-row access is not sublane-aligned for Mosaic;
+        # select the pe row with a mask-reduce instead (one VPU pass)
+        pe_row = jnp.sum(
+            pe_ref[:] * (t_iota == t).astype(f32), axis=0, keepdims=True
+        )
+        x = x + pe_row
+
+        def layer_body(l, x):
+            if L % 2 == 0:
+                # t*L is even -> slot parity is static per unrolled layer
+                slot = l % 2
+                nxt = (l + 1) % 2
+            else:
+                slot = jax.lax.rem(t * L + l, 2)
+                nxt = jax.lax.rem(t * L + l + 1, 2)
+            # wait for this layer's weights
+            for dma in weight_dma(slot, l):
+                dma.wait()
+            # prefetch next layer's weights (cyclic; l is a python int here)
+            next_l = (l + 1) % L
+
+            @pl.when(jnp.logical_or(t + 1 < n_steps_ref[0], l + 1 < L))
+            def _():
+                for dma in weight_dma(nxt, next_l):
+                    dma.start()
+
+            # ---- self-attention ----
+            qkv = jnp.dot(
+                x.astype(bf16), wqkv_s[slot], preferred_element_type=f32
+            )  # [SUB, 3D]
+            qkv = qkv + biases_ref[l, 0:1, : 3 * D]
+            q = qkv[:, :D]
+            k_t = qkv[0:1, D : 2 * D].astype(bf16)
+            v_t = qkv[0:1, 2 * D :].astype(bf16)
+            # masked write at row t (dynamic row stores need 8-row alignment)
+            row_is_t = t_iota == t
+            kcache[l] = jnp.where(row_is_t, jnp.broadcast_to(k_t, (T, D)), kcache[l])
+            vcache[l] = jnp.where(row_is_t, jnp.broadcast_to(v_t, (T, D)), vcache[l])
+            sa = attend(q, kcache[l], vcache[l], None, t)
+            sa = jnp.dot(sa.astype(bf16), wo_s[slot], preferred_element_type=f32)
+            sa = sa + biases_ref[l, 1:2, :D]
+            x = ln(x + sa, 3 * l + 0)
+            # ---- cross-attention ----
+            cq = jnp.dot(x.astype(bf16), wcq_s[slot], preferred_element_type=f32)
+            cq = cq + biases_ref[l, 2:3, :D]
+            ca = attend(cq, memk[l], memv[l], mem_bias_ref[:], 0)
+            ca = jnp.dot(ca.astype(bf16), wco_s[slot], preferred_element_type=f32)
+            ca = ca + biases_ref[l, 3:4, :D]
+            x = ln(x + ca, 3 * l + 1)
+            # ---- FFN ----
+            hmid = jnp.dot(x.astype(bf16), w1_s[slot], preferred_element_type=f32)
+            hmid = jnp.maximum(hmid + biases_ref[l, 4:5, :FF], 0.0)
+            ff = jnp.dot(hmid.astype(bf16), w2_s[slot], preferred_element_type=f32)
+            ff = ff + biases_ref[l, 5:6, :D]
+            return ln(x + ff, 3 * l + 2)
+
+        # layers are a static unrolled chain (L is small); fori would need the
+        # DMA handles rebuilt per l anyway
+        for l in range(L):
+            x = layer_body(l, x)
+
+        mel_t = jnp.dot(x.astype(bf16), mel_w_ref[:], preferred_element_type=f32)
+        mel_t = mel_t + mel_b_ref[0:1, :]
+        mel_s[:] = jnp.broadcast_to(mel_t[0:1, :], (SUB, NMEL))
+        out_ref[:] = jnp.where(
+            t_iota == t, jnp.broadcast_to(mel_t[0:1, :], (T, NMEL)), out_ref[:]
+        )
+        return _
+
+    jax.lax.fori_loop(0, n_steps_ref[0], step, 0)
+
+
+def pallas_ar_decode(
+    dp,  # DecodeParams (from models.ar_decoder.extract_decode_params)
+    mem_k: jnp.ndarray,  # [L, 1, S, H, dh]
+    mem_v: jnp.ndarray,
+    max_len: int,
+    memory_key_padding_mask: Optional[jnp.ndarray],  # [1, T] bool or None
+    n_heads: int,
+    n_mels: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the mega-kernel.  Returns mel [1, max_len, n_mels] (f32)."""
+    L, d, d3 = dp.wqkv.shape
+    FF = dp.w1.shape[-1]
+    T = max_len
+    S = mem_k.shape[2]
+    H = n_heads
+    NMEL_PAD = 128  # lane-pad the mel dim
+    bf16 = jnp.bfloat16
+
+    # ---- pack small operands ----
+    BW = max(FF, 3 * d)
+    biases = jnp.zeros((L, SUB, BW), jnp.float32)
+    biases = biases.at[:, 0, : 3 * d].set(dp.bqkv.astype(jnp.float32))
+    biases = biases.at[:, 1, :d].set(dp.bo.astype(jnp.float32))
+    biases = biases.at[:, 2, :d].set(dp.bcq.astype(jnp.float32))
+    biases = biases.at[:, 3, :d].set(dp.bco.astype(jnp.float32))
+    biases = biases.at[:, 4, :FF].set(dp.b1.astype(jnp.float32))
+    biases = biases.at[:, 5, :d].set(dp.b2.astype(jnp.float32))
+    ln_flat = dp.ln.reshape(L * 3 * 2, d)  # [(l, norm, scale/bias), d]
+
+    prenet_w1 = jnp.zeros((NMEL_PAD, d), bf16).at[:n_mels].set(
+        dp.prenet_w1.astype(bf16)
+    )
+    prenet_b = jnp.stack(
+        [dp.prenet_b1.astype(jnp.float32), dp.prenet_b2.astype(jnp.float32)]
+    )
+    mel_w = jnp.zeros((d, NMEL_PAD), bf16).at[:, :n_mels].set(dp.mel_w.astype(bf16))
+    mel_b = jnp.zeros((1, NMEL_PAD), jnp.float32).at[0, :n_mels].set(
+        dp.mel_b.astype(jnp.float32)
+    )
+    pe = dp.pe[:T].astype(jnp.float32)
+    g = jnp.asarray(_head_group_matrix(d, H)).astype(bf16)
+    if memory_key_padding_mask is not None:
+        mem_bias = jnp.where(memory_key_padding_mask[0], -1e9, 0.0).astype(
+            jnp.float32
+        )[:, None]
+    else:
+        mem_bias = jnp.zeros((S, 1), jnp.float32)
+
+    mem_k_flat = mem_k[:, 0].reshape(L, S, d).astype(bf16)
+    mem_v_flat = mem_v[:, 0].reshape(L, S, d).astype(bf16)
+
+    kernel = functools.partial(
+        _decode_kernel, L=L, T=T, S=S, D=d, H=H, FF=FF, NMEL=NMEL_PAD
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # biases
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # prenet_w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # prenet_w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # prenet_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mel_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mel_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pe
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # g
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mem_bias
+            pl.BlockSpec(memory_space=pl.ANY),  # wqkv
+            pl.BlockSpec(memory_space=pl.ANY),  # wo
+            pl.BlockSpec(memory_space=pl.ANY),  # wcq
+            pl.BlockSpec(memory_space=pl.ANY),  # wco
+            pl.BlockSpec(memory_space=pl.ANY),  # w1
+            pl.BlockSpec(memory_space=pl.ANY),  # w2
+            pl.BlockSpec(memory_space=pl.ANY),  # mem_k
+            pl.BlockSpec(memory_space=pl.ANY),  # mem_v
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((L, T, d), bf16),  # kcache
+            pltpu.VMEM((L, T, d), bf16),  # vcache
+            pltpu.VMEM((L, S, d), bf16),  # memk
+            pltpu.VMEM((L, S, d), bf16),  # memv
+            pltpu.VMEM((2, d, 3 * d), bf16),  # wqkv slots
+            pltpu.VMEM((2, d, d), bf16),  # wo
+            pltpu.VMEM((2, d, d), bf16),  # wcq
+            pltpu.VMEM((2, d, d), bf16),  # wco
+            pltpu.VMEM((2, d, FF), bf16),  # w1
+            pltpu.VMEM((2, FF, d), bf16),  # w2
+            pltpu.VMEM((SUB, NMEL_PAD), jnp.float32),  # mel carry
+            pltpu.SemaphoreType.DMA((2, 6)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, NMEL_PAD), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray([max_len], jnp.int32),
+        biases,
+        ln_flat,
+        prenet_w1,
+        dp.prenet_w2.astype(bf16),
+        prenet_b,
+        mel_w,
+        mel_b,
+        pe,
+        g,
+        mem_bias,
+        dp.wqkv.astype(bf16),
+        dp.wo.astype(bf16),
+        dp.wcq.astype(bf16),
+        dp.wco.astype(bf16),
+        dp.w1.astype(bf16),
+        dp.w2.astype(bf16),
+        mem_k_flat,
+        mem_v_flat,
+    )
+    return out[None, :, :n_mels]

@@ -99,6 +99,39 @@ class TestARDecode:
             np.asarray(fast), np.asarray(ref), rtol=1e-4, atol=1e-5
         )
 
+    def test_pallas_kernel_matches_packed(self):
+        """The Pallas mega-kernel (interpret mode on CPU) must match the
+        packed scan within bf16 noise.  The kernel quantizes weights to bf16
+        with f32 accumulation, so compare against a bf16 model and allow for
+        rounding compounded through the AR feedback loop."""
+        from sambert_hifigan_tpu.models.ar_decoder import (
+            ar_decode_packed,
+            extract_decode_params,
+            precompute_memory_packed,
+        )
+        from sambert_hifigan_tpu.ops.pallas.decode_kernel import pallas_ar_decode
+
+        cfg = DecoderConfig(n_layers=2, n_heads=4, d_ff=64, dropout=0.0, max_len=64)
+        model = PNCAARDecoder(D, MELS, cfg, dtype=jnp.bfloat16)
+        hvar = _rand(11, 1, 12, D).astype(jnp.bfloat16)
+        params = model.init(
+            jax.random.PRNGKey(3), hvar, jnp.zeros((1, 12, MELS), jnp.bfloat16)
+        )
+        mask = jnp.zeros((1, 12), bool).at[:, 10:].set(True)
+        ref = np.asarray(
+            ar_decode_packed(model, params, hvar, 12, mask), np.float32
+        )
+        dp = extract_decode_params(model, params)
+        mk, mv = precompute_memory_packed(model, params, hvar)
+        out = np.asarray(
+            pallas_ar_decode(
+                dp, mk, mv, 12, mask, n_heads=4, n_mels=MELS, interpret=True
+            )
+        )
+        assert out.shape == ref.shape
+        assert np.abs(out - ref).mean() < 0.05
+        assert np.isfinite(out).all()
+
     def test_output_length_equals_max_len(self, model_params):
         # (reference: tests/test_ar_decoder.py:57-140)
         model, params = model_params
