@@ -38,6 +38,10 @@ class Conv1d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     weight_norm: bool = False
+    # Channel-fold factor for the MXU (see ops/conv.py:folded_conv1d); a
+    # call-time transform — parameter shapes and semantics are unchanged.
+    # Applied only when stride == groups == 1 and T divides evenly.
+    fold: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -61,8 +65,19 @@ class Conv1d(nn.Module):
         )
         w = w.astype(self.dtype)
         b = b.astype(self.dtype) if b is not None else None
+        x = x.astype(self.dtype)
+        if (
+            self.fold > 1
+            and self.stride == 1
+            and self.groups == 1
+            and x.shape[1] % self.fold == 0
+        ):
+            return conv_ops.folded_conv1d(
+                x, w, b, padding=self.padding, dilation=self.dilation,
+                fold=self.fold,
+            )
         return conv_ops.conv1d(
-            x.astype(self.dtype),
+            x,
             w,
             b,
             stride=self.stride,
