@@ -120,8 +120,20 @@ class ConvTranspose1d(nn.Module):
         )
         w = w.astype(self.dtype)
         b = b.astype(self.dtype) if b is not None else None
+        x = x.astype(self.dtype)
+        # Tap-matmul formulation when the exact-length contract holds
+        # (2*padding == kernel - stride, true for all generator stages):
+        # dense [T, Cin] @ [Cin, stride*Cout] taps instead of an lhs-dilated
+        # scan — measured large MXU-utilization win (ops/conv.py).
+        if (
+            self.stride > 1
+            and 2 * self.padding == self.kernel_size - self.stride
+        ):
+            return conv_ops.folded_conv_transpose1d(
+                x, w, b, stride=self.stride, padding=self.padding
+            )
         return conv_ops.conv_transpose1d(
-            x.astype(self.dtype), w, b, stride=self.stride, padding=self.padding
+            x, w, b, stride=self.stride, padding=self.padding
         )
 
 

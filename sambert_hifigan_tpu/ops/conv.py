@@ -84,6 +84,67 @@ def conv_transpose1d(
     return y
 
 
+def folded_conv_transpose1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """ConvTranspose1d as tap-matmuls + interleave — exact same math as
+    conv_transpose1d, rearranged for the MXU.
+
+    The lhs-dilated formulation makes XLA slide a length-k kernel over a
+    mostly-zero dilated input (7/8 wasted multiplies at stride 8, poor MXU
+    tiling).  Instead: for output phase j in [0, stride), only taps
+    i = j + padding - stride*q of the kernel contribute, so the transpose is
+    a SHORT dense conv producing all `stride` phases at once in the lane dim:
+
+      W'[q - q_min, ci, j*Cout + co] = w[k-1-i, ci, co]   (i valid)
+      y_phases = conv1d(x, W', asymmetric pad (-q_min, q_max))  # [B, T, u*Co]
+      y = y_phases.reshape(B, T*u, Co)
+
+    For the generator's (k=16, u=8) stages this is 3 taps of
+    [T, Cin] @ [Cin, 8*Cout] — full 128-lane output tiles instead of a
+    stride-8 scan.  Requires out_len == T*stride (true whenever
+    2*padding == k - stride, the generator's configuration).
+
+    x [B, T, C_in], w [K, C_in, C_out] (effective-conv form, same layout as
+    conv_transpose1d) -> [B, T*stride, C_out].
+    """
+    k, cin, cout = w.shape
+    u = stride
+    p = padding
+    if (x.shape[1] - 1) * u - 2 * p + k != x.shape[1] * u:
+        raise ValueError(
+            "folded_conv_transpose1d requires out_len == T*stride "
+            f"(k={k}, stride={u}, padding={p})"
+        )
+    q_min = -((k - 1 - p) // u)
+    q_max = (u - 1 + p) // u
+    k_q = q_max - q_min + 1
+    w_f = jnp.zeros((k_q, cin, u * cout), w.dtype)
+    for j in range(u):
+        for q in range(q_min, q_max + 1):
+            i = j + p - u * q
+            if 0 <= i < k:
+                w_f = jax.lax.dynamic_update_slice(
+                    w_f, w[k - 1 - i][None], (q - q_min, 0, j * cout)
+                )
+    y = lax.conv_general_dilated(
+        x,
+        w_f,
+        window_strides=(1,),
+        padding=[(-q_min, q_max)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )  # [B, T, u*cout]
+    bsz, t = x.shape[0], x.shape[1]
+    y = y.reshape(bsz, t * u, cout)
+    if b is not None:
+        y = y + b
+    return y
+
+
 def conv2d(
     x: jnp.ndarray,
     w: jnp.ndarray,

@@ -211,6 +211,36 @@ class TestFoldedConv:
             folded_conv1d(jnp.ones((1, 10, 8)), jnp.ones((3, 8, 8)), padding=1, fold=4)
 
 
+class TestFoldedConvTranspose:
+    @pytest.mark.parametrize(
+        "cin,cout,k,u",
+        [(512, 256, 16, 8), (256, 128, 16, 8), (128, 64, 4, 2), (64, 32, 4, 2)],
+    )
+    def test_exactness_vs_conv_transpose(self, cin, cout, k, u):
+        from sambert_hifigan_tpu.ops.conv import (
+            conv_transpose1d,
+            folded_conv_transpose1d,
+        )
+
+        p = (k - u) // 2
+        rng = np.random.default_rng(cin + k)
+        x = jnp.asarray(rng.standard_normal((2, 19, cin)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, cin, cout)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        a = np.asarray(conv_transpose1d(x, w, b, stride=u, padding=p))
+        f = np.asarray(folded_conv_transpose1d(x, w, b, stride=u, padding=p))
+        assert f.shape == (2, 19 * u, cout)
+        np.testing.assert_allclose(f, a, rtol=1e-4, atol=1e-4)
+
+    def test_length_contract_violation_raises(self):
+        from sambert_hifigan_tpu.ops.conv import folded_conv_transpose1d
+
+        with pytest.raises(ValueError):
+            folded_conv_transpose1d(
+                jnp.ones((1, 10, 8)), jnp.ones((5, 8, 8)), stride=2, padding=0
+            )
+
+
 class TestMisc:
     def test_leaky_relu_matches_torch(self):
         x = _np(0, 128)
