@@ -57,6 +57,7 @@ class TTSPipeline:
         self.hop = cfg.audio.hop_length
         self._infer_cache: Dict[Tuple[int, int], object] = {}
         self._vocode_cache: Dict[int, object] = {}
+        self._fused_generator = None
 
     # ---- jitted stages -------------------------------------------------------
 
@@ -82,12 +83,45 @@ class TTSPipeline:
             self._infer_cache[key] = fn
         return self._infer_cache[key]
 
+    def _use_fused_generator(self) -> bool:
+        import os
+
+        flag = os.getenv("SAMBERT_PALLAS_MRF", "auto")
+        if flag == "0":
+            return False
+        lanes_ok = all(
+            (c >= 128 or 128 % c == 0)
+            for c in (
+                self.cfg.vocoder.generator.upsample_initial_channel // (2 ** (i + 1))
+                for i in range(len(self.cfg.vocoder.generator.upsample_rates))
+            )
+        )
+        if flag == "1":
+            return lanes_ok
+        return lanes_ok and jax.default_backend() == "tpu"
+
     def _vocode_fn(self, tfrm: int):
         if tfrm not in self._vocode_cache:
+            if self._use_fused_generator():
+                from .models.fused_generator import FusedGenerator
 
-            @jax.jit
-            def fn(params, mel):
-                return self.generator.apply(params, mel)
+                if self._fused_generator is None:
+                    self._fused_generator = FusedGenerator(
+                        self.cfg.vocoder.generator,
+                        self.generator_params,
+                        dtype=self.generator.dtype,
+                    )
+                fused = self._fused_generator
+
+                @jax.jit
+                def fn(params, mel):  # params unused; fused holds the weights
+                    return fused(mel)
+
+            else:
+
+                @jax.jit
+                def fn(params, mel):
+                    return self.generator.apply(params, mel)
 
             self._vocode_cache[tfrm] = fn
         return self._vocode_cache[tfrm]
