@@ -375,23 +375,33 @@ def ar_decode(
     b = hvar.shape[0]
     if max_len is None:
         max_len = hvar.shape[1]
+    import os
+
     if use_pallas is None:
         use_pallas = _pallas_decode_wanted(model, b)
     if use_pallas and b == 1:
-        from ..ops.pallas.decode_kernel import pallas_ar_decode
-
         dp = extract_decode_params(model, params)
         mem_k, mem_v = precompute_memory_packed(model, params, hvar)
-        out = pallas_ar_decode(
-            dp,
-            mem_k,
-            mem_v,
-            max_len,
-            memory_key_padding_mask,
+        kwargs = dict(
             n_heads=model.config.n_heads,
             n_mels=model.n_mels,
             interpret=jax.default_backend() != "tpu",
         )
+        if os.getenv("SAMBERT_PALLAS_DECODE", "auto") == "int8":
+            # Opt-in quantized serving mode: int8 weights VMEM-resident,
+            # zero per-step weight streaming (numerics change; see
+            # ops/pallas/decode_kernel_q.py).
+            from ..ops.pallas.decode_kernel_q import pallas_ar_decode_int8
+
+            out = pallas_ar_decode_int8(
+                dp, mem_k, mem_v, max_len, memory_key_padding_mask, **kwargs
+            )
+        else:
+            from ..ops.pallas.decode_kernel import pallas_ar_decode
+
+            out = pallas_ar_decode(
+                dp, mem_k, mem_v, max_len, memory_key_padding_mask, **kwargs
+            )
         return out.astype(hvar.dtype)
     return ar_decode_packed(model, params, hvar, max_len, memory_key_padding_mask)
 
