@@ -87,8 +87,12 @@ def _decode_kernel(
     w1_s,  # [2, d, ff]
     w2_s,  # [2, ff, d]
     mel_s,  # [SUB, n_mels_pad] f32 (carries prev mel frame)
+    kstage,  # [L, 8, d] bf16 staging (cache rows awaiting aligned flush)
+    vstage,  # [L, 8, d] bf16
+    mstage,  # [8, n_mels_pad] f32
     w_sems,  # DMA sems [2, 6]
     m_sems,  # DMA sems [2]
+    f_sems,  # DMA sems [3] (cache/output flushes)
     *,
     L: int,
     T: int,
@@ -125,10 +129,15 @@ def _decode_kernel(
     mk_dma.start()
     mv_dma.start()
 
-    # Zero state.
+    # Zero state.  Caches/staging must not hold NaN garbage: masked-out rows
+    # are still READ by the attention products before masking, and NaN * 0
+    # poisons the softmax.  One-time O(L*T*D) init, amortized over all steps.
     mel_s[:] = jnp.zeros((SUB, NMEL), f32)
     kcache[:] = jnp.zeros((L, T, D), bf16)
     vcache[:] = jnp.zeros((L, T, D), bf16)
+    kstage[:] = jnp.zeros((L, SUB, D), bf16)
+    vstage[:] = jnp.zeros((L, SUB, D), bf16)
+    mstage[:] = jnp.zeros((SUB, NMEL), f32)
 
     # Warm the weight pipeline with layer 0.
     for dma in weight_dma(0, 0):
@@ -168,12 +177,63 @@ def _decode_kernel(
         # are dead padding everywhere downstream
         return jnp.broadcast_to(o, (SUB, D))
 
+    stage_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
+
+    def attend_self(q32, keys, values, kst, vst, k_now, v_now, t, base):
+        """Causal self-attention over three key/value sources:
+          keys/values [T, D]   flushed cache rows  (valid: row < base)
+          kst/vst     [8, D]   staging rows        (valid: row < t - base)
+          k_now/v_now [1, D]   the current step    (always valid)
+        One softmax across all parts (the flushed cache is never rewritten
+        per step — the masked O(T) read-modify-write this replaces was the
+        kernel's dominant VPU cost)."""
+        qrow = (q32[0:1, :] / np.sqrt(DH)).astype(bf16)
+        s1 = jnp.dot((keys * qrow).astype(bf16), g_ref[:],
+                     preferred_element_type=f32)  # [T, H]
+        s1 = s1 + (t_iota >= base).astype(f32) * neg
+        s2 = jnp.dot((kst * qrow).astype(bf16), g_ref[:],
+                     preferred_element_type=f32)  # [8, H]
+        s2 = s2 + (stage_iota >= t - base).astype(f32) * neg
+        s3 = jnp.dot((k_now * qrow).astype(bf16), g_ref[:],
+                     preferred_element_type=f32)  # [1, H]
+        m = jnp.maximum(
+            jnp.max(s1, axis=0, keepdims=True),
+            jnp.maximum(jnp.max(s2, axis=0, keepdims=True), s3),
+        )
+        e1 = jnp.exp(s1 - m)
+        e2 = jnp.exp(s2 - m)
+        e3 = jnp.exp(s3 - m)
+        denom = (
+            jnp.sum(e1, axis=0, keepdims=True)
+            + jnp.sum(e2, axis=0, keepdims=True)
+            + e3
+        )
+        w1 = (e1 / denom).astype(bf16)
+        w2 = (e2 / denom).astype(bf16)
+        w3 = (e3 / denom).astype(bf16)
+        o = jnp.sum(
+            jnp.dot(w1, g_ref[:].T, preferred_element_type=f32)
+            * values.astype(f32),
+            axis=0, keepdims=True,
+        )
+        o = o + jnp.sum(
+            jnp.dot(w2, g_ref[:].T, preferred_element_type=f32)
+            * vst.astype(f32),
+            axis=0, keepdims=True,
+        )
+        o = o + jnp.dot(w3, g_ref[:].T, preferred_element_type=f32) * v_now.astype(f32)
+        return jnp.broadcast_to(o, (SUB, D))
+
     def matmul(x32, w_ref, rows=SUB):
         return jnp.dot(
             x32.astype(bf16), w_ref[:], preferred_element_type=f32
         )
 
+    stage3_iota = jax.lax.broadcasted_iota(jnp.int32, (L, SUB, 1), 1)
+
     def step(t, _):
+        base = (t // 8) * 8
+        new_k, new_v = [], []
         # prenet on the previous mel frame
         x = jnp.dot(
             mel_s[:].astype(bf16), prenet_w1_ref[:NMEL, :],
@@ -208,7 +268,7 @@ def _decode_kernel(
                 for dma in weight_dma(nxt, next_l):
                     dma.start()
 
-            # ---- self-attention ----
+            # ---- self-attention (staged cache: no O(T) rewrite) ----
             qkv = jnp.dot(
                 x.astype(bf16), wqkv_s[slot], preferred_element_type=f32
             )  # [SUB, 3D]
@@ -216,11 +276,11 @@ def _decode_kernel(
             q = qkv[:, :D]
             k_t = qkv[0:1, D : 2 * D].astype(bf16)
             v_t = qkv[0:1, 2 * D :].astype(bf16)
-            # masked write at row t (dynamic row stores need 8-row alignment)
-            row_is_t = t_iota == t
-            kcache[l] = jnp.where(row_is_t, jnp.broadcast_to(k_t, (T, D)), kcache[l])
-            vcache[l] = jnp.where(row_is_t, jnp.broadcast_to(v_t, (T, D)), vcache[l])
-            sa = attend(q, kcache[l], vcache[l], None, t)
+            new_k.append(k_t)
+            new_v.append(v_t)
+            sa = attend_self(
+                q, kcache[l], vcache[l], kstage[l], vstage[l], k_t, v_t, t, base
+            )
             sa = jnp.dot(sa.astype(bf16), wo_s[slot], preferred_element_type=f32)
             sa = sa + biases_ref[l, 1:2, :D]
             x = ln(x + sa, 3 * l + 0)
@@ -246,12 +306,47 @@ def _decode_kernel(
         mel_t = jnp.dot(x.astype(bf16), mel_w_ref[:], preferred_element_type=f32)
         mel_t = mel_t + mel_b_ref[0:1, :]
         mel_s[:] = jnp.broadcast_to(mel_t[0:1, :], (SUB, NMEL))
-        out_ref[:] = jnp.where(
-            t_iota == t, jnp.broadcast_to(mel_t[0:1, :], (T, NMEL)), out_ref[:]
+
+        # stage this step's K/V (all layers at once) and mel row: an O(8)
+        # masked write instead of the O(T) cache rewrite
+        j = t - base
+        stage_mask = stage3_iota == j  # [L, 8, 1] / [8, 1]
+        ks = jnp.concatenate([k[None] for k in new_k], axis=0)  # [L, 1, D]
+        vs = jnp.concatenate([v[None] for v in new_v], axis=0)
+        kstage[:] = jnp.where(stage_mask, jnp.broadcast_to(ks, (L, 8, D)), kstage[:])
+        vstage[:] = jnp.where(stage_mask, jnp.broadcast_to(vs, (L, 8, D)), vstage[:])
+        mstage[:] = jnp.where(
+            stage_iota == j, jnp.broadcast_to(mel_t[0:1, :], (8, NMEL)), mstage[:]
         )
-        return _
+
+        # aligned flush every 8 steps: staging -> cache/output via DMA
+        @pl.when(j == 7)
+        def _flush_now():
+            flush(base)
+
+        return 0
+
+    def flush(base):
+        start = pl.multiple_of(base, 8)
+        d1 = pltpu.make_async_copy(
+            kstage, kcache.at[:, pl.ds(start, 8), :], f_sems.at[0]
+        )
+        d2 = pltpu.make_async_copy(
+            vstage, vcache.at[:, pl.ds(start, 8), :], f_sems.at[1]
+        )
+        d3 = pltpu.make_async_copy(
+            mstage, out_ref.at[pl.ds(start, 8), :], f_sems.at[2]
+        )
+        d1.start(); d2.start(); d3.start()
+        d1.wait(); d2.wait(); d3.wait()
 
     jax.lax.fori_loop(0, n_steps_ref[0], step, 0)
+
+    # trailing partial block (n_steps not a multiple of 8): flush the last
+    # staging rows; rows beyond n_steps carry stale data the caller slices off
+    @pl.when(n_steps_ref[0] % 8 != 0)
+    def _():
+        flush((n_steps_ref[0] // 8) * 8)
 
 
 def pallas_ar_decode(
@@ -267,7 +362,7 @@ def pallas_ar_decode(
     """Run the mega-kernel.  Returns mel [1, max_len, n_mels] (f32)."""
     L, d, d3 = dp.wqkv.shape
     FF = dp.w1.shape[-1]
-    T = max_len
+    T = -(-max_len // 8) * 8  # buffers padded to the 8-step flush granularity
     S = mem_k.shape[2]
     H = n_heads
     NMEL_PAD = 128  # lane-pad the mel dim
@@ -345,8 +440,12 @@ def pallas_ar_decode(
             pltpu.VMEM((2, d, FF), bf16),  # w1
             pltpu.VMEM((2, FF, d), bf16),  # w2
             pltpu.VMEM((SUB, NMEL_PAD), jnp.float32),  # mel carry
+            pltpu.VMEM((L, SUB, d), bf16),  # kstage
+            pltpu.VMEM((L, SUB, d), bf16),  # vstage
+            pltpu.VMEM((SUB, NMEL_PAD), jnp.float32),  # mstage
             pltpu.SemaphoreType.DMA((2, 6)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     out = pl.pallas_call(
@@ -378,4 +477,4 @@ def pallas_ar_decode(
         mem_k_flat,
         mem_v_flat,
     )
-    return out[None, :, :n_mels]
+    return out[None, :max_len, :n_mels]
