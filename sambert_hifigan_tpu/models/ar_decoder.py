@@ -341,7 +341,7 @@ def _pallas_decode_wanted(model: PNCAARDecoder, batch: int) -> bool:
         return False
     on_tpu = jax.default_backend() == "tpu"
     eligible = (
-        batch == 1
+        batch <= 4  # B=1 native; 2..4 as sequential kernel calls
         and model.d_model % model.config.n_heads == 0
         and model.d_model >= 128  # lane-width floor for the head-fold trick
     )
@@ -379,6 +379,23 @@ def ar_decode(
 
     if use_pallas is None:
         use_pallas = _pallas_decode_wanted(model, b)
+    if use_pallas and 1 < b <= 4:
+        # Small batches: B sequential mega-kernel calls in one program beat
+        # the XLA scan (measured: B=2 packed 47 ms vs 2 x 12.5 ms kernels).
+        outs = [
+            ar_decode(
+                model,
+                params,
+                hvar[i : i + 1],
+                max_len,
+                None
+                if memory_key_padding_mask is None
+                else memory_key_padding_mask[i : i + 1],
+                use_pallas=True,
+            )
+            for i in range(b)
+        ]
+        return jnp.concatenate(outs, axis=0)
     if use_pallas and b == 1:
         dp = extract_decode_params(model, params)
         mem_k, mem_v = precompute_memory_packed(model, params, hvar)

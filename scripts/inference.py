@@ -37,6 +37,8 @@ def parse_args():
     p.add_argument("--energy-scale", type=float, default=1.0)
     p.add_argument("--stream", action="store_true")
     p.add_argument("--chunk-frames", type=int, default=32)
+    p.add_argument("--benchmark", action="store_true",
+                   help="synthesize twice and report warm (post-compile) RTF")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -101,6 +103,12 @@ def main():
     dur = wav.shape[0] / cfg.audio.sample_rate
     print(f"[inference] {dur:.2f}s audio in {wall:.2f}s (RTF {wall / dur:.3f}, "
           "incl. compile)")
+    if args.benchmark and not args.stream:
+        t0 = time.perf_counter()
+        wav = pipe.synthesize(args.text, **controls)
+        warm = time.perf_counter() - t0
+        print(f"[inference] warm run: {warm * 1e3:.0f} ms "
+              f"(RTF {warm / dur:.4f})")
     save_wav(args.output, wav, cfg.audio.sample_rate)
     print(f"[inference] wrote {args.output}")
 
