@@ -118,6 +118,7 @@ def vocoder_train_step(
         d_updates, d_opt_state = d_opt.update(d_grads, d_opt_state, d_params)
         d_params = optax.apply_updates(d_params, d_updates)
         metrics.update(d_metrics)
+        metrics["d_grad_norm"] = optax.global_norm(d_grads)
     else:
         metrics["disc_loss"] = jnp.zeros((), jnp.float32)
 
@@ -144,6 +145,9 @@ def vocoder_train_step(
     g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state, state.g_params)
     g_params = optax.apply_updates(state.g_params, g_updates)
     metrics.update(g_metrics)
+    metrics["g_grad_norm"] = optax.global_norm(g_grads)
+    if not train_d:
+        metrics["d_grad_norm"] = jnp.zeros((), jnp.float32)
 
     new_state = VocoderTrainState(
         g_params=g_params,

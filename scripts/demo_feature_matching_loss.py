@@ -16,6 +16,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax
+
+import os as _os
+
+if _os.getenv("SAMBERT_FORCE_CPU"):  # sitecustomize pre-registers the TPU
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

@@ -21,6 +21,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax
+
+# This image force-registers the TPU backend from sitecustomize before
+# env vars can apply; SAMBERT_FORCE_CPU=1 reclaims a CPU run (set
+# XLA_FLAGS=--xla_force_host_platform_device_count=N for a virtual mesh).
+import os as _os
+
+if _os.getenv("SAMBERT_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 

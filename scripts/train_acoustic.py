@@ -18,6 +18,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax
+
+# This image force-registers the TPU backend from sitecustomize before
+# env vars can apply; SAMBERT_FORCE_CPU=1 reclaims a CPU run (set
+# XLA_FLAGS=--xla_force_host_platform_device_count=N for a virtual mesh).
+import os as _os
+
+if _os.getenv("SAMBERT_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,6 +40,9 @@ def parse_args():
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--log-dir", type=str, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="size of the 'model' mesh axis (shape-rule tensor "
+                        "parallelism; devices/model must divide evenly)")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
@@ -56,8 +67,8 @@ def main():
         else default_config()
     )
     batch_size = args.batch_size or cfg.training.acoustic.batch_size
-    mesh = create_mesh()
-    n_dev = mesh.devices.size
+    mesh = create_mesh(model=args.model_parallel)
+    n_dev = int(mesh.shape["data"])
     if batch_size % n_dev:
         batch_size = max(n_dev, batch_size - batch_size % n_dev)
         print(f"[train_acoustic] batch rounded to {batch_size} for {n_dev} devices")
@@ -70,8 +81,14 @@ def main():
     if args.resume and ckpt.latest_step() is not None:
         state, start_step = ckpt.restore(state)
         print(f"[train_acoustic] resumed from step {start_step}")
-    state = replicate(state, mesh)
-    step_fn = make_jitted_acoustic_step(model, cfg, mesh=mesh)
+    if args.model_parallel > 1:
+        from sambert_hifigan_tpu.parallel.sharding_rules import shard_tree
+
+        state = shard_tree(state, mesh)
+        step_fn = make_jitted_acoustic_step(model, cfg)  # shardings inferred
+    else:
+        state = replicate(state, mesh)
+        step_fn = make_jitted_acoustic_step(model, cfg, mesh=mesh)
 
     if args.synthetic:
         def gen():
