@@ -18,9 +18,8 @@ from __future__ import annotations
 
 import dataclasses
 import math
-import pathlib
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import yaml
 

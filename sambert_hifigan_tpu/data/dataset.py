@@ -28,10 +28,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import AudioConfig, TTSConfig
+from ..config import TTSConfig
 from ..ops.mel import log_mel_spectrogram
 from ..text.frontend import FrontEnd, pick_bucket
-from .audio import load_wav, save_mel
+from .audio import load_wav
 from .features import extract_energy, extract_f0, uniform_durations
 
 

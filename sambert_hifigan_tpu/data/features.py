@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import AudioConfig
-from ..ops.stft import frame_signal, hann_window
+from ..ops.stft import frame_signal
 
 
 def frame_waveform_centered(

@@ -24,12 +24,12 @@ jitted program with static shapes (no Python loops over time).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..config import DiscriminatorConfig, GeneratorConfig, VocoderConfig
+from ..config import GeneratorConfig, VocoderConfig
 from ..ops.conv import avg_pool1d, get_padding, leaky_relu, reflect_pad_time
 from .layers import Conv1d, Conv2d, ConvTranspose1d
 

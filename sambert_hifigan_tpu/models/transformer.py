@@ -19,13 +19,13 @@ bool-mask convention); `key_padding_mask` is boolean [B, S] (True = ignore).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..utils.init import torch_bias_init, torch_linear_kernel_init, xavier_uniform
+from ..utils.init import torch_linear_kernel_init, xavier_uniform
 from .layers import LayerNorm, Linear
 
 NEG_INF = -1e9

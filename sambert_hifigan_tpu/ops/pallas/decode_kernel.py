@@ -224,11 +224,6 @@ def _decode_kernel(
         o = o + jnp.dot(w3, g_ref[:].T, preferred_element_type=f32) * v_now.astype(f32)
         return jnp.broadcast_to(o, (SUB, D))
 
-    def matmul(x32, w_ref, rows=SUB):
-        return jnp.dot(
-            x32.astype(bf16), w_ref[:], preferred_element_type=f32
-        )
-
     stage3_iota = jax.lax.broadcasted_iota(jnp.int32, (L, SUB, 1), 1)
 
     def step(t, _):

@@ -17,8 +17,7 @@ Implementation notes (TPU):
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

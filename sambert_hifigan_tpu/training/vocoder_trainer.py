@@ -28,13 +28,13 @@ inserts the gradient all-reduces over ICI.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..config import AudioConfig, LossWeights, TTSConfig, VocoderConfig
+from ..config import AudioConfig, LossWeights, TTSConfig
 from ..losses.vocoder import (
     should_train_discriminator,
     vocoder_discriminator_loss,

@@ -22,7 +22,7 @@ one of the quirks SURVEY.md section 7.3.7d says to fix, not copy).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Union
+from typing import Sequence, Union
 
 import jax
 
