@@ -178,8 +178,11 @@ class TTSPipeline:
             [text], duration_scale, pitch_shift, energy_scale
         )
         wav = self.vocode(out.mel_pred)  # [1, 1, maxF * hop]
-        n_frames = int(jnp.minimum(out.total_frames[0], out.mel_pred.shape[1]))
-        return np.asarray(wav[0, 0, : n_frames * self.hop])
+        # one combined host transfer (each device->host fetch pays a full
+        # roundtrip; on tunneled setups that dominates warm latency)
+        wav_np, total = jax.device_get((wav[0, 0], out.total_frames[0]))
+        n_frames = min(int(total), out.mel_pred.shape[1])
+        return np.asarray(wav_np[: n_frames * self.hop])
 
     def synthesize_batch(self, texts: List[str], **controls) -> List[np.ndarray]:
         out = self.text_to_mel(texts, **controls)
