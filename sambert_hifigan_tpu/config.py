@@ -267,6 +267,11 @@ def load_config(
         )
         paths = _build(PathsConfig, raw.get("paths"))
         loss_w = raw.get("loss_weights") or {}
+        # reference debug flag (configs/config.yaml:50-51) -> DEBUG_SHAPES
+        if (raw.get("debug") or {}).get("print_shapes"):
+            import os
+
+            os.environ.setdefault("DEBUG_SHAPES", "1")
 
     acoustic = AcousticModelConfig()
     vocoder = VocoderConfig()

@@ -15,6 +15,7 @@ from .conv import (
 from .length_regulator import gather_frames, length_regulate, regulate_indices
 from .mel import (
     extract_mel,
+    extract_mel_from_file,
     log_mel_spectrogram,
     mel_filterbank,
     mel_power_spectrogram,

@@ -170,6 +170,20 @@ def extract_mel(
     return log_mel_spectrogram(x[0], audio)
 
 
+def extract_mel_from_file(
+    audio_path, audio: Optional[AudioConfig] = None
+):
+    """Load an audio file and extract its log-mel
+    (reference: data/audio_processing.py:142-164).
+
+    Returns (log_mel [n_mels, T], original sample_rate).
+    """
+    from ..data.audio import load_wav
+
+    waveform, sample_rate = load_wav(audio_path)
+    return extract_mel(waveform, sample_rate, audio), sample_rate
+
+
 # ---------------------------------------------------------------------------
 # Resampling (sinc interpolation, matching torchaudio.transforms.Resample
 # defaults: lowpass_filter_width=6, rolloff=0.99, sinc_interp_hann)

@@ -233,3 +233,19 @@ class TestResample:
         wave = _test_wave(4096)
         out = np.asarray(resample(jnp.asarray(wave)[None], 22050, 22050))[0]
         np.testing.assert_array_equal(out, wave)
+
+
+class TestExtractMelFromFile:
+    def test_roundtrip(self, tmp_path):
+        from sambert_hifigan_tpu.data.audio import save_wav
+        from sambert_hifigan_tpu.ops.mel import extract_mel_from_file
+
+        wave = _test_wave(8192)
+        p = tmp_path / "x.wav"
+        save_wav(p, wave, 22050)
+        mel, sr = extract_mel_from_file(p, AUDIO)
+        assert sr == 22050
+        assert mel.shape == (AUDIO.n_mels, 8192 // AUDIO.hop_length + 1)
+        direct = extract_mel(wave, 22050, AUDIO)
+        # 16-bit PCM quantization of the wav bounds the mel difference
+        assert float(np.abs(np.asarray(mel) - np.asarray(direct)).mean()) < 1e-2
