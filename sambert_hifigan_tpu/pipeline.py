@@ -126,6 +126,19 @@ class TTSPipeline:
             self._vocode_cache[tfrm] = fn
         return self._vocode_cache[tfrm]
 
+    def warmup(self, max_frames: Optional[int] = None) -> None:
+        """Pre-compile every (phoneme bucket, frame bucket) pair so first-user
+        requests never pay compile latency (serving deployments call this at
+        startup).  With max_frames given, only that frame bucket compiles."""
+        frame_buckets = (
+            [max_frames] if max_frames else list(self.cfg.runtime.frame_buckets)
+        )
+        for tph in self.cfg.runtime.phoneme_buckets:
+            text = "预" * max(1, tph - 2)  # fills the bucket exactly with BOS/EOS
+            for tfrm in frame_buckets:
+                out = self.text_to_mel([text], max_frames=tfrm)
+                self.vocode(out.mel_pred)
+
     # ---- public API ----------------------------------------------------------
 
     def text_to_mel(
