@@ -57,6 +57,9 @@ class EncoderConfig:
     n_heads: int = 4
     d_ff: int = 1024
     dropout: float = 0.1
+    # rematerialize each layer on the backward pass (jax.checkpoint): trades
+    # recompute FLOPs for activation memory when training long frame buckets
+    remat: bool = False
 
 
 @dataclass(frozen=True)
@@ -84,6 +87,7 @@ class DecoderConfig:
     dropout: float = 0.1
     chunk_size: int = 1  # scan unroll factor for streaming inference
     max_len: int = 5000  # positional-encoding capacity (reference: models/ar_decoder.py:69)
+    remat: bool = False  # rematerialize decoder layers on backward
 
 
 @dataclass(frozen=True)

@@ -53,8 +53,13 @@ class PNCAARDecoder(nn.Module):
         )
         self.prenet_drop = nn.Dropout(c.dropout)
         self.pos_drop = nn.Dropout(c.dropout)
+        layer_cls = TransformerDecoderLayer
+        if c.remat:
+            # remat the teacher-forcing __call__ (activation memory scales
+            # with Tfrm there); the incremental decode methods are untouched
+            layer_cls = nn.remat(TransformerDecoderLayer, static_argnums=(5,))
         self.layers = [
-            TransformerDecoderLayer(
+            layer_cls(
                 self.d_model, c.n_heads, c.d_ff, c.dropout, dtype=self.dtype,
                 name=f"layer_{i}",
             )

@@ -31,9 +31,14 @@ class BERTEncoder(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         assert h0.ndim == 3 and h0.shape[-1] == self.d_model, h0.shape
+        layer_cls = TransformerEncoderLayer
+        if self.config.remat:
+            # jax.checkpoint per layer: activations recompute on backward
+            # instead of living in HBM for the whole step (long frame buckets)
+            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(4,))
         x = h0
         for i in range(self.config.n_layers):
-            x = TransformerEncoderLayer(
+            x = layer_cls(
                 self.d_model,
                 self.config.n_heads,
                 self.config.d_ff,

@@ -159,6 +159,42 @@ class TestAcousticTrainStep:
         }
 
 
+class TestRemat:
+    def test_remat_is_math_identical(self):
+        """jax.checkpoint layer remat must not change the training step's
+        numbers (it only trades backward-pass memory for recompute)."""
+        import dataclasses as dc
+
+        from sambert_hifigan_tpu.config import (
+            AcousticModelConfig as AMC,
+            DecoderConfig as DC,
+            EncoderConfig as EC,
+        )
+
+        def mk(remat):
+            return dc.replace(
+                _cfg(),
+                acoustic_model=AMC(
+                    d_model=32,
+                    encoder=EC(n_layers=1, n_heads=4, d_ff=64, remat=remat),
+                    decoder=DC(n_layers=1, n_heads=4, d_ff=64, max_len=128,
+                               remat=remat),
+                ),
+            )
+
+        batch = TestAcousticTrainStep()._batch()
+        losses = []
+        for cfg in (mk(False), mk(True)):
+            model = SAMBERTAcousticModel(cfg.acoustic_model)
+            state = init_acoustic_state(
+                model, cfg, jax.random.PRNGKey(0), tph=6, max_frames=16
+            )
+            step = make_jitted_acoustic_step(model, cfg)
+            state, m = step(state, batch, jax.random.PRNGKey(1))
+            losses.append(float(m["total_loss"]))
+        assert losses[0] == pytest.approx(losses[1], rel=1e-5)
+
+
 class TestDataParallel:
     def test_vocoder_step_on_8_device_mesh(self):
         mesh = create_mesh(data=8, model=1)
