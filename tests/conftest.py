@@ -36,6 +36,20 @@ assert jax.device_count() >= 8, (
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _drop_compiled_executables():
+    """The suite compiles hundreds of XLA CPU executables (GAN steps,
+    8-device meshes, Pallas interpret runs); pytest keeps them alive through
+    jit caches and the process eventually aborts on memory near the end.
+    Tests never share jits across modules, so drop the caches at each module
+    boundary."""
+    yield
+    jax.clear_caches()
+    import gc
+
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def rng():
     import numpy as np
