@@ -1,0 +1,395 @@
+"""Golden parity against the reference's OWN torch modules with transplanted
+weights (BASELINE.md "waveform parity on shared weights" criterion).
+
+Unlike tests/test_transformer.py / test_conv_ops.py (which pin parity against
+torch.nn primitives), these tests import `/root/reference/models` directly,
+convert each reference module's `state_dict()` through
+sambert_hifigan_tpu.interop, and assert the flax modules reproduce the
+reference outputs:
+
+  * HiFiGANGenerator            (reference: models/hifigan.py:134-283)
+  * MultiScaleDiscriminator     (reference: models/hifigan.py:356-447)
+  * MultiPeriodDiscriminator    (reference: models/hifigan.py:545-615)
+  * BERTEncoder                 (reference: models/bert_encoder.py:13-119)
+  * VarianceAdaptor (TF + inference) (reference: models/variance_adaptor.py:585-791)
+  * PNCAARDecoder (TF + autoregressive) (reference: models/ar_decoder.py:94-238)
+  * SAMBERTAcousticModel full teacher-forced forward (models/acoustic_model.py:181-265)
+  * end-to-end inference: ids -> mel -> wav on shared weights
+
+Bars: f32 output MAE < 1e-4 per module; mel/wav MAE < 1e-3 end-to-end.
+
+Skips cleanly when torch or the reference tree is unavailable.
+"""
+
+import contextlib
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+REFERENCE_ROOT = "/root/reference"
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(os.path.join(REFERENCE_ROOT, "models")):
+    pytest.skip("reference tree not available", allow_module_level=True)
+
+os.environ.setdefault("DEBUG_SHAPES", "0")
+sys.dont_write_bytecode = True  # the reference tree is read-only
+if REFERENCE_ROOT not in sys.path:
+    sys.path.insert(0, REFERENCE_ROOT)
+
+with contextlib.redirect_stdout(io.StringIO()):
+    from models.acoustic_model import SAMBERTAcousticModel as RefAcousticModel
+    from models.ar_decoder import PNCAARDecoder as RefARDecoder
+    from models.bert_encoder import BERTEncoder as RefBERTEncoder
+    from models.hifigan import HiFiGANGenerator as RefGenerator
+    from models.hifigan import MultiPeriodDiscriminator as RefMPD
+    from models.hifigan import MultiScaleDiscriminator as RefMSD
+    from models.variance_adaptor import VarianceAdaptor as RefVarianceAdaptor
+
+from sambert_hifigan_tpu import interop
+from sambert_hifigan_tpu.config import (
+    AcousticModelConfig,
+    DecoderConfig,
+    EncoderConfig,
+    GeneratorConfig,
+    VarianceAdaptorConfig,
+)
+from sambert_hifigan_tpu.models.acoustic_model import (
+    SAMBERTAcousticModel,
+    acoustic_inference,
+)
+from sambert_hifigan_tpu.models.ar_decoder import (
+    PNCAARDecoder,
+    ar_decode_packed,
+)
+from sambert_hifigan_tpu.models.encoder import BERTEncoder
+from sambert_hifigan_tpu.models.hifigan import (
+    HiFiGANGenerator,
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+)
+from sambert_hifigan_tpu.models.variance_adaptor import VarianceAdaptor
+
+
+@contextlib.contextmanager
+def quiet():
+    """The reference modules print shapes unconditionally
+    (SURVEY.md section 5.1); swallow stdout around every reference call."""
+    with contextlib.redirect_stdout(io.StringIO()):
+        yield
+
+
+def _sd(module):
+    return interop.state_dict_to_numpy(module.state_dict())
+
+
+def _zero_dropout(module):
+    """Make torch train() mode deterministic: zero every dropout probability
+    (nn.Dropout modules and MultiheadAttention's functional dropout)."""
+    for m in module.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+        if isinstance(m, torch.nn.MultiheadAttention):
+            m.dropout = 0.0
+    return module
+
+
+def _mae(a, b):
+    return float(np.mean(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+def _rand(seed, *shape):
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# vocoder family
+# ---------------------------------------------------------------------------
+
+
+class TestGeneratorParity:
+    def test_waveform_matches_reference(self):
+        torch.manual_seed(0)
+        with quiet():
+            ref = RefGenerator().eval()
+        params = {"params": interop.generator_params_from_torch(_sd(ref))}
+        mel = _rand(1, 2, 80, 24)
+        with quiet(), torch.no_grad():
+            want = ref(torch.from_numpy(mel)).numpy()
+        got = np.asarray(
+            HiFiGANGenerator(GeneratorConfig()).apply(params, jnp.asarray(mel))
+        )
+        assert got.shape == want.shape == (2, 1, 24 * 256)
+        assert _mae(got, want) < 1e-4, _mae(got, want)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestDiscriminatorParity:
+    def test_msd_logits_and_fmaps(self):
+        torch.manual_seed(1)
+        with quiet():
+            ref = RefMSD().eval()
+        params = {"params": interop.msd_params_from_torch(_sd(ref))}
+        wav = (_rand(3, 2, 1, 4000) * 0.1).astype(np.float32)
+        with quiet(), torch.no_grad():
+            want_out, want_fmaps = ref(torch.from_numpy(wav))
+        got_out, got_fmaps = MultiScaleDiscriminator().apply(
+            params, jnp.asarray(wav)
+        )
+        assert len(got_out) == len(want_out) == 3
+        for g, w in zip(got_out, want_out):
+            assert _mae(g, w.numpy()) < 1e-4
+        for gf, wf in zip(got_fmaps, want_fmaps):
+            assert len(gf) == len(wf) == 8
+            for g, w in zip(gf, wf):
+                assert g.shape == tuple(w.shape)
+                assert _mae(g, w.numpy()) < 1e-4
+
+    def test_mpd_logits_and_fmaps_non_divisible_length(self):
+        torch.manual_seed(2)
+        with quiet():
+            ref = RefMPD().eval()
+        params = {"params": interop.mpd_params_from_torch(_sd(ref))}
+        # 4001 is not divisible by any period -> exercises the reflect pad
+        # (reference: models/hifigan.py:514-517)
+        wav = (_rand(4, 2, 1, 4001) * 0.1).astype(np.float32)
+        with quiet(), torch.no_grad():
+            want_out, want_fmaps = ref(torch.from_numpy(wav))
+        got_out, got_fmaps = MultiPeriodDiscriminator().apply(
+            params, jnp.asarray(wav)
+        )
+        assert len(got_out) == len(want_out) == 5
+        for g, w in zip(got_out, want_out):
+            assert g.shape == tuple(w.shape)
+            assert _mae(g, w.numpy()) < 1e-4
+        for gf, wf in zip(got_fmaps, want_fmaps):
+            assert len(gf) == len(wf) == 6
+            for g, w in zip(gf, wf):
+                assert g.shape == tuple(w.shape)
+                assert _mae(g, w.numpy()) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# acoustic family
+# ---------------------------------------------------------------------------
+
+
+class TestBERTEncoderParity:
+    def test_with_padding_mask(self):
+        torch.manual_seed(3)
+        with quiet():
+            ref = RefBERTEncoder(256, 6, 4, 1024).eval()
+        params = {"params": interop.bert_encoder_params_from_torch(_sd(ref))}
+        x = _rand(5, 2, 13, 256)
+        kpm = np.zeros((2, 13), bool)
+        kpm[0, 9:] = True
+        kpm[1, 11:] = True
+        with quiet(), torch.no_grad():
+            want = ref(
+                torch.from_numpy(x),
+                src_key_padding_mask=torch.from_numpy(kpm),
+            ).numpy()
+        got = np.asarray(
+            BERTEncoder(256, EncoderConfig()).apply(
+                params, jnp.asarray(x), None, jnp.asarray(kpm)
+            )
+        )
+        # padded positions attend garbage in both impls; compare valid ones
+        valid = ~kpm
+        assert _mae(got[valid], want[valid]) < 1e-4
+
+
+class TestVarianceAdaptorParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        torch.manual_seed(4)
+        with quiet():
+            ref = RefVarianceAdaptor(256).eval()
+        params = {
+            "params": interop.variance_adaptor_params_from_torch(_sd(ref))
+        }
+        return ref, VarianceAdaptor(256, VarianceAdaptorConfig()), params
+
+    def test_teacher_forced(self, pair):
+        ref, ours, params = pair
+        henc = _rand(6, 2, 7, 256)
+        # equal per-row totals so the static bucket has no padding
+        dur = np.array([[2, 1, 3, 1, 2, 2, 1], [1, 2, 2, 2, 1, 3, 1]], np.int64)
+        tfrm = int(dur.sum(1).max())
+        rng = np.random.default_rng(7)
+        pitch_gt = rng.uniform(80, 600, (2, tfrm)).astype(np.float32)
+        energy_gt = rng.uniform(0, 1, (2, tfrm)).astype(np.float32)
+        with quiet(), torch.no_grad():
+            want_hvar, want_pred = ref(
+                torch.from_numpy(henc),
+                dur_gt=torch.from_numpy(dur),
+                pitch_gt=torch.from_numpy(pitch_gt),
+                energy_gt=torch.from_numpy(energy_gt),
+            )
+        out = ours.apply(
+            params,
+            jnp.asarray(henc),
+            tfrm,
+            dur_gt=jnp.asarray(dur),
+            pitch_gt=jnp.asarray(pitch_gt),
+            energy_gt=jnp.asarray(energy_gt),
+        )
+        assert _mae(out.hvar, want_hvar.numpy()) < 1e-4
+        for key in ("log_dur_pred", "pitch_tok", "energy_tok",
+                    "pitch_frm", "energy_frm"):
+            assert _mae(out.predictions[key], want_pred[key].numpy()) < 1e-4, key
+
+    def test_inference_mode_durations_match(self, pair):
+        ref, ours, params = pair
+        henc = _rand(8, 1, 9, 256)
+        with quiet(), torch.no_grad():
+            want_hvar, want_pred = ref(torch.from_numpy(henc))
+        tfrm = int(want_pred["dur"].sum())
+        out = ours.apply(params, jnp.asarray(henc), tfrm)
+        np.testing.assert_array_equal(
+            np.asarray(out.predictions["dur"]), want_pred["dur"].numpy()
+        )
+        assert _mae(out.hvar, want_hvar.numpy()) < 1e-4
+        assert int(out.total_frames[0]) == tfrm
+
+
+class TestARDecoderParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        torch.manual_seed(5)
+        with quiet():
+            ref = RefARDecoder()
+        _zero_dropout(ref)
+        params = {"params": interop.ar_decoder_params_from_torch(_sd(ref))}
+        return ref, PNCAARDecoder(256, 80, DecoderConfig()), params
+
+    def test_teacher_forced(self, pair):
+        ref, ours, params = pair
+        hvar = _rand(9, 2, 18, 256)
+        mel_gt = _rand(10, 2, 18, 80)
+        ref.train()  # TF branch requires training mode (ar_decoder.py:112-117)
+        with quiet(), torch.no_grad():
+            want = ref(torch.from_numpy(hvar), torch.from_numpy(mel_gt)).numpy()
+        got = np.asarray(
+            ours.apply(params, jnp.asarray(hvar), jnp.asarray(mel_gt))
+        )
+        assert got.shape == want.shape == (2, 18, 80)
+        assert _mae(got, want) < 1e-4, _mae(got, want)
+
+    def test_autoregressive(self, pair):
+        """The scan+KV-cache decode reproduces the reference's full-prefix
+        re-encode loop (reference: models/ar_decoder.py:167-238)."""
+        ref, ours, params = pair
+        hvar = _rand(11, 2, 16, 256)
+        ref.eval()
+        with quiet(), torch.no_grad():
+            want = ref(torch.from_numpy(hvar)).numpy()
+        got = np.asarray(
+            ar_decode_packed(ours, params, jnp.asarray(hvar), max_len=16)
+        )
+        assert got.shape == want.shape == (2, 16, 80)
+        assert _mae(got, want) < 1e-4, _mae(got, want)
+
+
+class TestFullAcousticModelParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        torch.manual_seed(6)
+        with quiet():
+            ref = RefAcousticModel()
+        _zero_dropout(ref)
+        params = {"params": interop.acoustic_params_from_torch(_sd(ref))}
+        return ref, SAMBERTAcousticModel(AcousticModelConfig()), params
+
+    def _ids(self, seed, b, tph):
+        rng = np.random.default_rng(seed)
+        return (
+            rng.integers(4, 300, (b, tph)).astype(np.int64),
+            rng.integers(0, 10, (b, tph)).astype(np.int64),
+            rng.integers(0, 5, (b, tph)).astype(np.int64),
+        )
+
+    def test_teacher_forced_forward(self, pair):
+        """Full training-path forward: ids + all ground truth -> mel_pred
+        (reference: models/acoustic_model.py:181-265)."""
+        ref, ours, params = pair
+        ph, tone, bound = self._ids(12, 2, 6)
+        dur = np.array([[2, 1, 2, 1, 2, 2], [1, 2, 2, 2, 2, 1]], np.int64)
+        tfrm = int(dur.sum(1).max())
+        rng = np.random.default_rng(13)
+        pitch_gt = rng.uniform(80, 600, (2, tfrm)).astype(np.float32)
+        energy_gt = rng.uniform(0, 1, (2, tfrm)).astype(np.float32)
+        mel_gt = _rand(14, 2, tfrm, 80)
+        ref.train()  # decoder TF branch; dropouts are zeroed
+        with quiet(), torch.no_grad():
+            want_mel, want_pred = ref(
+                torch.from_numpy(ph),
+                torch.from_numpy(tone),
+                torch.from_numpy(bound),
+                dur_gt=torch.from_numpy(dur),
+                pitch_gt=torch.from_numpy(pitch_gt),
+                energy_gt=torch.from_numpy(energy_gt),
+                mel_gt=torch.from_numpy(mel_gt),
+            )
+        out = ours.apply(
+            params,
+            jnp.asarray(ph),
+            jnp.asarray(tone),
+            jnp.asarray(bound),
+            jnp.asarray(mel_gt),
+            jnp.asarray(dur),
+            jnp.asarray(pitch_gt),
+            jnp.asarray(energy_gt),
+        )
+        assert _mae(out.mel_pred, want_mel.numpy()) < 1e-4
+        for key in ("log_dur_pred", "pitch_tok", "energy_tok"):
+            assert _mae(out.predictions[key], want_pred[key].numpy()) < 1e-4, key
+
+    def test_end_to_end_inference_mel_and_wav(self, pair):
+        """ids -> (predicted durations) -> AR decode -> vocoder, reference vs
+        this framework on shared weights.  BASELINE.md: mel/wav MAE < 1e-3."""
+        ref, ours, params = pair
+        ph, tone, bound = self._ids(15, 1, 5)
+        ref.eval()
+        with quiet(), torch.no_grad():
+            want_mel, want_pred = ref.inference(
+                torch.from_numpy(ph),
+                torch.from_numpy(tone),
+                torch.from_numpy(bound),
+            )
+        tfrm = int(want_pred["dur"].sum())
+        out = acoustic_inference(
+            ours,
+            params,
+            jnp.asarray(ph),
+            jnp.asarray(tone),
+            jnp.asarray(bound),
+            max_frames=tfrm,
+        )
+        got_mel = np.asarray(out.mel_pred)
+        np.testing.assert_array_equal(
+            np.asarray(out.predictions["dur"]), want_pred["dur"].numpy()
+        )
+        assert got_mel.shape == tuple(want_mel.shape)
+        mel_mae = _mae(got_mel, want_mel.numpy())
+        assert mel_mae < 1e-3, mel_mae
+
+        torch.manual_seed(16)
+        with quiet():
+            ref_gen = RefGenerator().eval()
+        gen_params = {"params": interop.generator_params_from_torch(_sd(ref_gen))}
+        with quiet(), torch.no_grad():
+            want_wav = ref_gen(want_mel.transpose(1, 2)).numpy()
+        got_wav = np.asarray(
+            HiFiGANGenerator(GeneratorConfig()).apply(
+                gen_params, jnp.swapaxes(jnp.asarray(got_mel), 1, 2)
+            )
+        )
+        assert got_wav.shape == want_wav.shape == (1, 1, tfrm * 256)
+        wav_mae = _mae(got_wav, want_wav)
+        assert wav_mae < 1e-3, wav_mae
