@@ -85,6 +85,17 @@ def main():
     sd = load_state_dict(args.input)
     rng = jax.random.PRNGKey(args.seed)
 
+    probe = {"acoustic": "phoneme_embedding.ph_emb.weight",
+             "hifigan": "generator.conv_pre.weight",
+             "generator": "conv_pre.weight"}[args.model]
+    if probe not in sd:
+        sample = sorted(sd)[:5]
+        sys.exit(
+            f"error: checkpoint does not look like a reference-format "
+            f"'{args.model}' state_dict (missing key {probe!r}; found keys "
+            f"like {sample}). Pass the matching --model."
+        )
+
     if args.model == "acoustic":
         model = SAMBERTAcousticModel(cfg.acoustic_model)
         state = init_acoustic_state(model, cfg, rng)
