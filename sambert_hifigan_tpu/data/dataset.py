@@ -137,6 +137,41 @@ class TTSDataset:
         np.savez(cache, **feats)
         return feats
 
+    # ---- alignment ------------------------------------------------------------
+
+    def compute_alignments(
+        self,
+        steps: int = 400,
+        batch_size: int = 8,
+        seed: int = 0,
+        verbose: bool = False,
+    ) -> List[float]:
+        """Replace the uniform-duration bootstrap with learned forced
+        alignments: train the corpus CTC aligner (data/aligner.py), Viterbi-
+        align every utterance, and rewrite the cached `dur` arrays in place.
+        Returns the aligner loss history."""
+        from .aligner import ctc_durations, train_ctc_aligner
+
+        feats = [self.load_features(u) for u in self.utterances]
+        samples = [(f["mel"], f["ph_ids"]) for f in feats]
+        net, params, losses = train_ctc_aligner(
+            samples,
+            vocab_size=self.cfg.acoustic_model.frontend.vocab_size,
+            n_mels=self.audio.n_mels,
+            steps=steps,
+            batch_size=batch_size,
+            seed=seed,
+        )
+        for utt, f in zip(self.utterances, feats):
+            dur = ctc_durations(net, params, f["mel"], f["ph_ids"])
+            assert dur.sum() == f["mel"].shape[0]
+            f = dict(f)
+            f["dur"] = dur.astype(np.int32)
+            np.savez(self._cache_key(utt), **f)
+            if verbose:
+                print(f"[align] {utt.wav_path}: dur={dur.tolist()}")
+        return losses
+
     # ---- batching ------------------------------------------------------------
 
     def batches(

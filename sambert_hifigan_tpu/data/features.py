@@ -18,9 +18,11 @@ Energy: per-frame RMS, normalized per utterance to [0, 1] to match the
 EnergyPredictor's fixed [0, 1] quantization range
 (reference: models/variance_adaptor.py:462, docs/acoustic_features_theory.md:530-623).
 
-Durations: with no forced aligner in scope, `uniform_durations` splits the
-frame budget evenly over phonemes (the standard bootstrap for alignment-free
-training); real alignments can be dropped into the same [B, Tph] int contract.
+Durations: `uniform_durations` is the lazy bootstrap (even split); real
+targets come from the learned CTC forced aligner in data/aligner.py
+(TTSDataset.compute_alignments / scripts/preprocess.py --aligner ctc), which
+rewrites the cached durations with Viterbi segmentations summing exactly to
+each utterance's frame count.
 """
 
 from __future__ import annotations

@@ -26,6 +26,12 @@ def main():
     p.add_argument("--metadata", type=str, required=True)
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--cache-dir", type=str, default=None)
+    p.add_argument("--aligner", choices=["uniform", "ctc"], default="ctc",
+                   help="duration targets: 'ctc' trains the corpus CTC "
+                        "aligner and Viterbi-aligns every utterance "
+                        "(data/aligner.py); 'uniform' keeps the even-split "
+                        "bootstrap")
+    p.add_argument("--aligner-steps", type=int, default=400)
     args = p.parse_args()
 
     cfg = load_config(args.config) if args.config else default_config()
@@ -38,7 +44,14 @@ def main():
             f"{feats['mel'].shape[0]} frames, "
             f"{int(feats['voiced'].sum())} voiced"
         )
-    print(f"done in {time.perf_counter() - t0:.1f}s; cache at {ds.cache_dir}")
+    print(f"extracted in {time.perf_counter() - t0:.1f}s; cache at {ds.cache_dir}")
+    if args.aligner == "ctc":
+        t0 = time.perf_counter()
+        losses = ds.compute_alignments(steps=args.aligner_steps)
+        print(
+            f"aligned {len(ds)} utterances in {time.perf_counter() - t0:.1f}s "
+            f"(CTC loss {losses[0]:.3f} -> {losses[-1]:.3f})"
+        )
 
 
 if __name__ == "__main__":
