@@ -248,33 +248,25 @@ def precompute_memory_packed(model: PNCAARDecoder, params, hvar: jnp.ndarray):
     return jnp.stack(ks), jnp.stack(vs)
 
 
-def ar_decode_packed(
-    model: PNCAARDecoder,
-    params,
-    hvar: jnp.ndarray,
-    max_len: Optional[int] = None,
+def make_packed_step(
+    dp: DecodeParams,
+    mem_k: jnp.ndarray,
+    mem_v: jnp.ndarray,
+    max_len: int,
     memory_key_padding_mask: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Fast AR decode: one lax.scan over a pure-array step built from packed
-    weights.  Numerically identical to the module path (same op order per
-    layer); the module path remains the reference implementation."""
-    b, tfrm, d = hvar.shape
-    if max_len is None:
-        max_len = tfrm
-    cfg = model.config
-    h = cfg.n_heads
-    dh = d // h
-    L = cfg.n_layers
-    dt = model.dtype
-    dp = extract_decode_params(model, params)
-    mem_k, mem_v = precompute_memory_packed(model, params, hvar)
+    dtype=jnp.float32,
+):
+    """The per-frame decode step over packed weights, shared by the one-shot
+    scan (ar_decode_packed) and the chunked streaming decoder
+    (ar_decode_chunk).  carry = (prev_mel [B, n_mels], cache_k, cache_v);
+    caches are [L, B, max_len, H, dh]."""
+    L, b, _, h, dh = mem_k.shape
+    d = h * dh
+    dt = dtype
     neg = jnp.float32(-1e9)
     mem_bias = None
     if memory_key_padding_mask is not None:
         mem_bias = jnp.where(memory_key_padding_mask[:, None, :], neg, 0.0)
-
-    cache_k = jnp.zeros((L, b, max_len, h, dh), dt)
-    cache_v = jnp.zeros((L, b, max_len, h, dh), dt)
     pos_idx = jnp.arange(max_len)
 
     def step(carry, pos):
@@ -316,15 +308,75 @@ def ar_decode_packed(
         mel_t = x @ dp.mel_w + dp.mel_b
         return (mel_t, ck, cv), mel_t
 
-    init_mel = jnp.zeros((b, model.n_mels), dt)
+    return step
+
+
+def init_packed_carry(
+    n_layers: int, batch: int, max_len: int, n_heads: int, d_head: int,
+    n_mels: int, dtype=jnp.float32,
+):
+    """Initial (prev_mel, cache_k, cache_v) carry for make_packed_step."""
+    shape = (n_layers, batch, max_len, n_heads, d_head)
+    return (
+        jnp.zeros((batch, n_mels), dtype),
+        jnp.zeros(shape, dtype),
+        jnp.zeros(shape, dtype),
+    )
+
+
+def ar_decode_packed(
+    model: PNCAARDecoder,
+    params,
+    hvar: jnp.ndarray,
+    max_len: Optional[int] = None,
+    memory_key_padding_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Fast AR decode: one lax.scan over a pure-array step built from packed
+    weights.  Numerically identical to the module path (same op order per
+    layer); the module path remains the reference implementation."""
+    b, tfrm, d = hvar.shape
+    if max_len is None:
+        max_len = tfrm
+    cfg = model.config
+    dt = model.dtype
+    dp = extract_decode_params(model, params)
+    mem_k, mem_v = precompute_memory_packed(model, params, hvar)
+    step = make_packed_step(
+        dp, mem_k, mem_v, max_len, memory_key_padding_mask, dt
+    )
+    carry0 = init_packed_carry(
+        cfg.n_layers, b, max_len, cfg.n_heads, d // cfg.n_heads, model.n_mels, dt
+    )
     unroll = max(1, int(cfg.chunk_size))
     (_, _, _), mels = jax.lax.scan(
-        step,
-        (init_mel, cache_k, cache_v),
-        jnp.arange(max_len, dtype=jnp.int32),
-        unroll=unroll,
+        step, carry0, jnp.arange(max_len, dtype=jnp.int32), unroll=unroll
     )
     return jnp.swapaxes(mels, 0, 1)
+
+
+def ar_decode_chunk(
+    step,
+    carry,
+    pos0: jnp.ndarray,  # scalar int32: first position of this chunk
+    chunk: int,
+    unroll: int = 1,
+):
+    """Advance the packed decoder by `chunk` frames from `carry`.
+
+    Returns (carry', mel_chunk [B, chunk, n_mels]).  Splitting the one-shot
+    scan into segments is carry-exact: chaining ar_decode_chunk calls yields
+    bit-identical mels to ar_decode_packed (asserted by
+    tests/test_pipeline.py streaming equivalence tests).  This is the
+    streaming unit: first audio after `chunk` decode steps instead of after
+    the full utterance (reference design.md:799-824's goal; its chunk_size
+    knob never actually chunked, reference: models/ar_decoder.py:198-229)."""
+    carry, mels = jax.lax.scan(
+        step,
+        carry,
+        pos0 + jnp.arange(chunk, dtype=jnp.int32),
+        unroll=max(1, unroll),
+    )
+    return carry, jnp.swapaxes(mels, 0, 1)
 
 
 def init_decoder_caches(

@@ -30,8 +30,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import warnings
+
 from .config import TTSConfig
 from .models.acoustic_model import SAMBERTAcousticModel, acoustic_inference
+from .models.ar_decoder import (
+    PNCAARDecoder,
+    ar_decode_chunk,
+    extract_decode_params,
+    init_packed_carry,
+    make_packed_step,
+    precompute_memory_packed,
+)
 from .models.hifigan import HiFiGANGenerator
 from .text.frontend import FrontEnd, pick_bucket
 
@@ -57,6 +67,8 @@ class TTSPipeline:
         self.hop = cfg.audio.hop_length
         self._infer_cache: Dict[Tuple[int, int], object] = {}
         self._vocode_cache: Dict[int, object] = {}
+        self._encode_cache: Dict[Tuple[int, int], object] = {}
+        self._stream_cache: Dict[Tuple[int, int], object] = {}
         self._fused_generator = None
 
     # ---- jitted stages -------------------------------------------------------
@@ -82,6 +94,58 @@ class TTSPipeline:
 
             self._infer_cache[key] = fn
         return self._infer_cache[key]
+
+    def _encode_fn(self, tph: int, max_frames: int):
+        """Encoder + variance adaptor only (everything before the AR decoder)
+        — the streaming path runs this first, then decodes in chunks."""
+        key = (tph, max_frames)
+        if key not in self._encode_cache:
+
+            @jax.jit
+            def fn(params, ph, tone, bound, pmask, dur_scale, pitch_shift, energy_scale):
+                return self.acoustic.apply(
+                    params, ph, tone, bound, max_frames,
+                    None, None, None, pmask, True,
+                    dur_scale, pitch_shift, energy_scale,
+                    method=SAMBERTAcousticModel.encode,
+                )
+
+            self._encode_cache[key] = fn
+        return self._encode_cache[key]
+
+    def _stream_decode_fns(self, max_frames: int, chunk: int):
+        """(prepare, decode_chunk) jitted pair for chunked AR decoding.
+
+        prepare packs the decoder weights + cross-attention memory once per
+        utterance; decode_chunk advances the scan by `chunk` frames.  Chaining
+        chunks is carry-exact (models/ar_decoder.py:ar_decode_chunk), so the
+        streamed mel is bit-identical to the one-shot decode."""
+        key = (max_frames, chunk)
+        if key not in self._stream_cache:
+            decoder = PNCAARDecoder(
+                self.cfg.acoustic_model.d_model,
+                self.cfg.acoustic_model.n_mels,
+                self.cfg.acoustic_model.decoder,
+                dtype=self.acoustic.dtype,
+            )
+            unroll = max(1, int(decoder.config.chunk_size))
+
+            @jax.jit
+            def prepare(params, hvar):
+                dparams = {"params": params["params"]["ar_decoder"]}
+                dp = extract_decode_params(decoder, dparams)
+                mem_k, mem_v = precompute_memory_packed(decoder, dparams, hvar)
+                return dp, mem_k, mem_v
+
+            @functools.partial(jax.jit, static_argnames=())
+            def decode_chunk(dp, mem_k, mem_v, mem_mask, carry, pos0):
+                step = make_packed_step(
+                    dp, mem_k, mem_v, max_frames, mem_mask, self.acoustic.dtype
+                )
+                return ar_decode_chunk(step, carry, pos0, chunk, unroll)
+
+            self._stream_cache[key] = (decoder, prepare, decode_chunk)
+        return self._stream_cache[key]
 
     def _use_fused_generator(self) -> bool:
         import os
@@ -152,16 +216,15 @@ class TTSPipeline:
         feat = self.frontend.batch_forward(texts)
         tph = pick_bucket(feat.ph_ids.shape[1], self.cfg.runtime.phoneme_buckets)
         feat = self.frontend.batch_forward(texts, pad_to=tph)
-        if max_frames is None:
-            # worst-case frame budget estimate: scale-adjusted upper bound
+        auto_bucket = max_frames is None
+        if auto_bucket:
+            # frame budget estimate; overflow is detected and re-dispatched below
             est = int(tph * 12 * max(duration_scale, 1.0))
             max_frames = pick_bucket(
                 min(est, max(self.cfg.runtime.frame_buckets)),
                 self.cfg.runtime.frame_buckets,
             )
-        fn = self._acoustic_fn(tph, max_frames)
-        out = fn(
-            self.acoustic_params,
+        args = (
             jnp.asarray(feat.ph_ids),
             jnp.asarray(feat.tone_ids),
             jnp.asarray(feat.boundary_ids),
@@ -170,6 +233,29 @@ class TTSPipeline:
             jnp.float32(pitch_shift),
             jnp.float32(energy_scale),
         )
+        out = self._acoustic_fn(tph, max_frames)(self.acoustic_params, *args)
+        if auto_bucket:
+            # no silent truncation: if predicted durations exceed the bucket,
+            # re-dispatch at the smallest bucket that fits (durations are
+            # deterministic, so the re-run lands on the same totals)
+            need = int(jax.device_get(out.total_frames).max())
+            largest = max(self.cfg.runtime.frame_buckets)
+            if need > max_frames:
+                if max_frames < largest:
+                    bigger = pick_bucket(
+                        min(need, largest), self.cfg.runtime.frame_buckets
+                    )
+                    out = self._acoustic_fn(tph, bigger)(
+                        self.acoustic_params, *args
+                    )
+                    max_frames = bigger
+                    need = int(jax.device_get(out.total_frames).max())
+                if need > max_frames:
+                    warnings.warn(
+                        f"predicted {need} frames exceed the largest frame "
+                        f"bucket ({max_frames}); audio will be truncated — "
+                        "split the text or enlarge runtime.frame_buckets"
+                    )
         return out
 
     def vocode(self, mel_btc: jnp.ndarray) -> jnp.ndarray:
@@ -200,11 +286,14 @@ class TTSPipeline:
     def synthesize_batch(self, texts: List[str], **controls) -> List[np.ndarray]:
         out = self.text_to_mel(texts, **controls)
         wav = self.vocode(out.mel_pred)
-        wavs = []
-        for i in range(len(texts)):
-            n = int(jnp.minimum(out.total_frames[i], out.mel_pred.shape[1]))
-            wavs.append(np.asarray(wav[i, 0, : n * self.hop]))
-        return wavs
+        # one combined host transfer for the whole batch (a per-sample
+        # int(total[i]) would pay a device->host roundtrip per sample)
+        wav_np, totals = jax.device_get((wav, out.total_frames))
+        max_frames = out.mel_pred.shape[1]
+        return [
+            np.asarray(wav_np[i, 0, : min(int(totals[i]), max_frames) * self.hop])
+            for i in range(len(texts))
+        ]
 
     # ---- streaming -----------------------------------------------------------
 
@@ -213,35 +302,89 @@ class TTSPipeline:
         text: str,
         chunk_frames: int = 32,
         context_frames: int = 16,
-        **controls,
+        duration_scale: float = 1.0,
+        pitch_shift: float = 0.0,
+        energy_scale: float = 1.0,
     ) -> Iterator[np.ndarray]:
-        """Yield waveform chunks of chunk_frames * hop samples (last chunk may
-        be shorter).  Each chunk is vocoded from its mel window plus
-        context_frames margin on each side; the margins are discarded, so with
-        enough context each chunk equals the corresponding slice of the full
-        vocoding (design.md:799-824's overlap-add buffer, made exact)."""
-        out = self.text_to_mel([text], **controls)
-        n_frames = int(jnp.minimum(out.total_frames[0], out.mel_pred.shape[1]))
-        mel = out.mel_pred  # [1, maxF, n_mels]; frames >= n_frames are zeros
+        """True incremental synthesis: yield waveform chunks of
+        chunk_frames * hop samples as soon as their mel frames exist.
+
+        Unlike the one-shot path, the AR decode itself is chunked
+        (ar_decode_chunk: carry-exact segments of the decode scan), so the
+        first chunk arrives after encoder + ~(chunk + context) decode steps
+        instead of after the FULL utterance decode.  Each chunk is vocoded
+        from its mel window plus context_frames margin on each side (HiFi-GAN
+        has a finite receptive field), so the streamed audio is bit-identical
+        to the one-shot synthesize() output for sufficient context
+        (reference design.md:799-824's streaming goal; its chunk_size knob
+        never actually chunked, reference: models/ar_decoder.py:198-229)."""
+        feat = self.frontend.batch_forward([text])
+        tph = pick_bucket(feat.ph_ids.shape[1], self.cfg.runtime.phoneme_buckets)
+        feat = self.frontend.batch_forward([text], pad_to=tph)
+        args = (
+            jnp.asarray(feat.ph_ids),
+            jnp.asarray(feat.tone_ids),
+            jnp.asarray(feat.boundary_ids),
+            jnp.asarray(feat.phoneme_mask),
+            jnp.float32(duration_scale),
+            jnp.float32(pitch_shift),
+            jnp.float32(energy_scale),
+        )
+        est = int(tph * 12 * max(duration_scale, 1.0))
+        buckets = self.cfg.runtime.frame_buckets
+        max_frames = pick_bucket(min(est, max(buckets)), buckets)
+        va = self._encode_fn(tph, max_frames)(self.acoustic_params, *args)
+        total = int(jax.device_get(va.total_frames)[0])
+        if total > max_frames and max_frames < max(buckets):
+            max_frames = pick_bucket(min(total, max(buckets)), buckets)
+            va = self._encode_fn(tph, max_frames)(self.acoustic_params, *args)
+            total = int(jax.device_get(va.total_frames)[0])
+        if total > max_frames:
+            warnings.warn(
+                f"predicted {total} frames exceed the largest frame bucket "
+                f"({max_frames}); stream will be truncated"
+            )
+            total = max_frames
+
+        decoder, prepare, decode_chunk = self._stream_decode_fns(
+            max_frames, chunk_frames
+        )
+        dp, mem_k, mem_v = prepare(self.acoustic_params, va.hvar)
+        mem_mask = ~va.frame_mask
+        cfg_dec = decoder.config
+        carry = init_packed_carry(
+            cfg_dec.n_layers, 1, max_frames, cfg_dec.n_heads,
+            decoder.d_model // cfg_dec.n_heads, decoder.n_mels,
+            self.acoustic.dtype,
+        )
         window = chunk_frames + 2 * context_frames
         vocode = self._vocode_fn(window)
-        for start in range(0, n_frames, chunk_frames):
-            # Never extend the window left of frame 0: a zero MEL frame is not
-            # the same as conv-internal zero padding (conv_pre's bias colors
-            # it), so the first window aligns with the true signal edge and
-            # discards less on the left.  To the right, padded mel frames ARE
-            # zeros in the one-shot path too, so zero-padding there is exact.
+        mel_buf = np.zeros((1, max_frames + window, self.cfg.audio.n_mels),
+                           np.float32)
+        decoded = 0  # frames materialized in mel_buf (clamped to total)
+        pos = 0  # decoder position (may overshoot total by < chunk)
+        for start in range(0, total, chunk_frames):
+            # decode until this window's right context exists
+            need = min(start + chunk_frames + context_frames, total)
+            while decoded < need:
+                carry, mel_c = decode_chunk(
+                    dp, mem_k, mem_v, mem_mask, carry, jnp.int32(pos)
+                )
+                n_new = min(chunk_frames, max_frames - pos)
+                mel_buf[:, pos : pos + n_new] = jax.device_get(
+                    mel_c
+                )[:, :n_new]
+                pos += chunk_frames
+                decoded = min(pos, total)
+            # frames >= total are zeros in the one-shot path (frame-mask
+            # multiply); mel_buf beyond `decoded` is already zeros here
+            mel_buf[:, total:] = 0.0
             lo = max(0, start - context_frames)
-            hi = lo + window
-            pad_hi = max(0, hi - mel.shape[1])
-            seg = mel[:, lo : min(hi, mel.shape[1]), :]
-            if pad_hi:
-                seg = jnp.pad(seg, ((0, 0), (0, pad_hi), (0, 0)))
-            wav = vocode(self.generator_params, jnp.swapaxes(seg, 1, 2))
+            seg = mel_buf[:, lo : lo + window]
+            wav = vocode(self.generator_params, jnp.swapaxes(jnp.asarray(seg), 1, 2))
             s = (start - lo) * self.hop
-            e = s + chunk_frames * self.hop
-            chunk = np.asarray(wav[0, 0, s:e])
-            valid = min(chunk_frames, n_frames - start) * self.hop
+            chunk = np.asarray(wav[0, 0, s : s + chunk_frames * self.hop])
+            valid = min(chunk_frames, total - start) * self.hop
             yield chunk[:valid]
 
 
