@@ -390,17 +390,25 @@ def init_decoder_caches(
     ]
 
 
-def _pallas_decode_wanted(model: PNCAARDecoder, batch: int) -> bool:
+def _pallas_decode_wanted(
+    model: PNCAARDecoder, batch: int, max_len: int, mem_len: int
+) -> bool:
     import os
+
+    from ..ops.pallas.decode_kernel import pallas_decode_fits
 
     flag = os.getenv("SAMBERT_PALLAS_DECODE", "auto")
     if flag == "0":
         return False
     on_tpu = jax.default_backend() == "tpu"
+    cfg = model.config
     eligible = (
-        batch <= 4  # B=1 native; 2..4 as sequential kernel calls
-        and model.d_model % model.config.n_heads == 0
+        batch <= 8  # batch rows ride the [8, d] sublane tile
+        and model.d_model % cfg.n_heads == 0
         and model.d_model >= 128  # lane-width floor for the head-fold trick
+        and pallas_decode_fits(
+            cfg.n_layers, batch, max_len, mem_len, model.d_model, cfg.d_ff
+        )
     )
     if flag == "1":
         return eligible
@@ -422,11 +430,14 @@ def ar_decode(
     models/ar_decoder.py:191-233) carries all state in per-layer KV caches.
 
     Two engines, identical math:
-      * batch == 1 on TPU: the Pallas mega-kernel (ops/pallas/decode_kernel)
-        runs the whole loop on-chip — VMEM-resident caches, double-buffered
-        weight streaming, no per-step dispatch overhead;
+      * batch <= 8 on TPU (VMEM permitting): the Pallas mega-kernel
+        (ops/pallas/decode_kernel) runs the whole loop on-chip —
+        VMEM-resident caches, double-buffered weight streaming, no per-step
+        dispatch overhead.  Batch rows ride the dead sublanes of the [8, d]
+        row tile, so every batch element shares ONE weight stream (the
+        bottleneck): batched decode costs ~the B=1 latency, not B kernel runs;
       * otherwise: a lax.scan over packed weights (weight streaming amortizes
-        across the batch there).
+        across the large batch there).
     Override with use_pallas or SAMBERT_PALLAS_DECODE=0/1/auto.
     """
     b = hvar.shape[0]
@@ -435,25 +446,8 @@ def ar_decode(
     import os
 
     if use_pallas is None:
-        use_pallas = _pallas_decode_wanted(model, b)
-    if use_pallas and 1 < b <= 4:
-        # Small batches: B sequential mega-kernel calls in one program beat
-        # the XLA scan (measured: B=2 packed 47 ms vs 2 x 12.5 ms kernels).
-        outs = [
-            ar_decode(
-                model,
-                params,
-                hvar[i : i + 1],
-                max_len,
-                None
-                if memory_key_padding_mask is None
-                else memory_key_padding_mask[i : i + 1],
-                use_pallas=True,
-            )
-            for i in range(b)
-        ]
-        return jnp.concatenate(outs, axis=0)
-    if use_pallas and b == 1:
+        use_pallas = _pallas_decode_wanted(model, b, max_len, hvar.shape[1])
+    if use_pallas and b <= 8:
         dp = extract_decode_params(model, params)
         mem_k, mem_v = precompute_memory_packed(model, params, hvar)
         kwargs = dict(
@@ -461,7 +455,7 @@ def ar_decode(
             n_mels=model.n_mels,
             interpret=jax.default_backend() != "tpu",
         )
-        if os.getenv("SAMBERT_PALLAS_DECODE", "auto") == "int8":
+        if os.getenv("SAMBERT_PALLAS_DECODE", "auto") == "int8" and b == 1:
             # Opt-in quantized serving mode: int8 weights VMEM-resident,
             # zero per-step weight streaming (numerics change; see
             # ops/pallas/decode_kernel_q.py).

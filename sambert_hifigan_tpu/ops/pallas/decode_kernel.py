@@ -5,7 +5,7 @@ op-dispatch bound — ~150 small HLO ops per step at ~0.5-1 us each (removing
 the FFN, 80%% of the FLOPs/weights, saves only 8%%).  This kernel runs the
 whole T-step, L-layer decode as ONE Pallas program:
 
-  * KV caches ([L, T, d] bf16) and the cross-attention memory K/V live in
+  * KV caches ([L*B, T, d] bf16) and the cross-attention memory K/V live in
     VMEM for the entire decode — zero HBM cache traffic,
   * per-layer weight matrices stream HBM -> VMEM through a 2-slot
     double-buffered DMA pipeline that runs one layer ahead of compute,
@@ -15,14 +15,21 @@ whole T-step, L-layer decode as ONE Pallas program:
 HBM traffic collapses to the irreducible weight stream (T * 16.5 MB), which
 double-buffering overlaps with compute.
 
-Head-folded attention (B = 1, d = 256 = 8 heads x 32): with lanes packed
-h-major, scores for all heads come from one VPU multiply + one [T, d] @ G
-matmul where G[c, h] = 1 iff lane c belongs to head h; the weighted value sum
-is the transpose trick with G^T.  No per-head loops, no tiny matmuls.
+Batching (B <= 8): the row tile is [SUB=8, d] and a B=1 decode leaves 7 dead
+sublanes in every matmul.  Batch elements ride in those rows: all dense
+matmuls ([8, d] @ [d, *]) are the SAME size for any B <= 8, and the per-step
+weight stream — the bottleneck — is shared across the batch.  Only the
+attention reads (one [T, d] pass per batch row) and the cache staging scale
+with B, so batched decode costs ~the B=1 latency instead of B sequential
+kernel runs.
+
+Head-folded attention (d = 256 = 8 heads x 32): with lanes packed h-major,
+scores for all heads come from one VPU multiply + one [T, d] @ G matmul where
+G[c, h] = 1 iff lane c belongs to head h; the weighted value sum is the
+transpose trick with G^T.  No per-head loops, no tiny matmuls.
 
 Numerics match ar_decode_packed: bf16 matmul inputs with f32 accumulation,
-f32 softmax and LayerNorm.  Batch 1 only (the latency path); larger batches
-use the XLA scan, which already amortizes weight streaming across the batch.
+f32 softmax and LayerNorm.
 """
 
 from __future__ import annotations
@@ -36,7 +43,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SUB = 8  # sublane tile for row vectors
+SUB = 8  # sublane tile for row vectors; also the max kernel batch
 
 
 def _head_group_matrix(d: int, n_heads: int, pad_to: int = 128) -> np.ndarray:
@@ -63,7 +70,7 @@ def _decode_kernel(
     mel_b_ref,  # [1, n_mels_pad] f32
     pe_ref,  # [T, d] f32
     g_ref,  # [d, 128] bf16 head-group matrix (lane-padded)
-    mem_bias_ref,  # [S, 1] f32 additive cross-attention bias (-1e9 on pads)
+    mem_bias_ref,  # [B, S, 1] f32 additive cross-attention bias (-1e9 on pads)
     # --- HBM operands (streamed / resident) ---
     wqkv_hbm,  # [L, d, 3d] bf16
     wo_hbm,  # [L, d, d]
@@ -71,30 +78,31 @@ def _decode_kernel(
     wco_hbm,  # [L, d, d]
     w1_hbm,  # [L, d, ff]
     w2_hbm,  # [L, ff, d]
-    mem_k_hbm,  # [L, S, d] bf16
-    mem_v_hbm,  # [L, S, d] bf16
+    mem_k_hbm,  # [L*B, S, d] bf16
+    mem_v_hbm,  # [L*B, S, d] bf16
     # --- output ---
-    out_ref,  # [T, n_mels_pad] f32
+    out_ref,  # [B, T, n_mels_pad] f32
     # --- scratch ---
-    kcache,  # [L, T, d] bf16
-    vcache,  # [L, T, d] bf16
-    memk,  # [L, S, d] bf16
-    memv,  # [L, S, d] bf16
+    kcache,  # [L*B, T, d] bf16
+    vcache,  # [L*B, T, d] bf16
+    memk,  # [L*B, S, d] bf16
+    memv,  # [L*B, S, d] bf16
     wqkv_s,  # [2, d, 3d] bf16
     wo_s,  # [2, d, d]
     wcq_s,  # [2, d, d]
     wco_s,  # [2, d, d]
     w1_s,  # [2, d, ff]
     w2_s,  # [2, ff, d]
-    mel_s,  # [SUB, n_mels_pad] f32 (carries prev mel frame)
-    kstage,  # [L, 8, d] bf16 staging (cache rows awaiting aligned flush)
-    vstage,  # [L, 8, d] bf16
-    mstage,  # [8, n_mels_pad] f32
+    mel_s,  # [SUB, n_mels_pad] f32 (carries prev mel frames, rows 0..B-1)
+    kstage,  # [L*B, 8, d] bf16 staging (cache rows awaiting aligned flush)
+    vstage,  # [L*B, 8, d] bf16
+    mstage,  # [B, 8, n_mels_pad] f32
     w_sems,  # DMA sems [2, 6]
     m_sems,  # DMA sems [2]
     f_sems,  # DMA sems [3] (cache/output flushes)
     *,
     L: int,
+    B: int,
     T: int,
     S: int,
     D: int,
@@ -131,13 +139,13 @@ def _decode_kernel(
 
     # Zero state.  Caches/staging must not hold NaN garbage: masked-out rows
     # are still READ by the attention products before masking, and NaN * 0
-    # poisons the softmax.  One-time O(L*T*D) init, amortized over all steps.
+    # poisons the softmax.  One-time O(L*B*T*D) init, amortized over all steps.
     mel_s[:] = jnp.zeros((SUB, NMEL), f32)
-    kcache[:] = jnp.zeros((L, T, D), bf16)
-    vcache[:] = jnp.zeros((L, T, D), bf16)
-    kstage[:] = jnp.zeros((L, SUB, D), bf16)
-    vstage[:] = jnp.zeros((L, SUB, D), bf16)
-    mstage[:] = jnp.zeros((SUB, NMEL), f32)
+    kcache[:] = jnp.zeros((L * B, T, D), bf16)
+    vcache[:] = jnp.zeros((L * B, T, D), bf16)
+    kstage[:] = jnp.zeros((L * B, SUB, D), bf16)
+    vstage[:] = jnp.zeros((L * B, SUB, D), bf16)
+    mstage[:] = jnp.zeros((B, SUB, NMEL), f32)
 
     # Warm the weight pipeline with layer 0.
     for dma in weight_dma(0, 0):
@@ -153,83 +161,102 @@ def _decode_kernel(
         y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
         return y * ln_ref[2 * idx, :] + ln_ref[2 * idx + 1, :]
 
-    def attend(q32, keys, values, bias_col, pos):
-        """q32 [SUB, D] f32 (row 0 live), keys/values [T, D] bf16,
-        bias_col [T, 1] f32 additive (or None -> causal mask vs pos).
-        Returns [SUB, D] f32 attention output in row 0."""
-        qrow = (q32[0:1, :] / np.sqrt(DH)).astype(bf16)  # [1, D]
-        prod = (keys * qrow).astype(bf16)  # [T, D] broadcast over rows
-        scores = jnp.dot(prod, g_ref[:], preferred_element_type=f32)
-        # scores [T, H] f32
-        if bias_col is None:
-            mask = (t_iota > pos).astype(f32) * neg
-            scores = scores + mask
-        else:
-            scores = scores + bias_col
-        m = jnp.max(scores, axis=0, keepdims=True)
-        e = jnp.exp(scores - m)
-        s = jnp.sum(e, axis=0, keepdims=True)
-        w = (e / s).astype(bf16)  # [T, H]
-        wexp = jnp.dot(w, g_ref[:].T, preferred_element_type=f32)
-        # wexp [T, D] f32 -> weighted sum of values over T
-        o = jnp.sum(wexp * values.astype(f32), axis=0, keepdims=True)  # [1, D]
-        # broadcast instead of scatter (Mosaic has no scatter); rows 1..SUB-1
-        # are dead padding everywhere downstream
-        return jnp.broadcast_to(o, (SUB, D))
+    def pad_rows(rows):
+        """Stack B [1, C] rows (+ zero rows) into a [SUB, C] tile."""
+        c = rows[0].shape[-1]
+        if B < SUB:
+            rows = rows + [jnp.zeros((SUB - B, c), rows[0].dtype)]
+        return jnp.concatenate(rows, axis=0)
+
+    def attend_cross(q32, l):
+        """Cross-attention for all batch rows: q32 [SUB, D] f32 (rows 0..B-1
+        live) against the VMEM-resident memory K/V of each batch element.
+        Returns [SUB, D] f32."""
+        outs = []
+        for b in range(B):
+            qrow = (q32[b : b + 1, :] / np.sqrt(DH)).astype(bf16)  # [1, D]
+            keys = memk[l * B + b]
+            values = memv[l * B + b]
+            prod = (keys * qrow).astype(bf16)  # [S, D]
+            scores = jnp.dot(prod, g_ref[:], preferred_element_type=f32)
+            scores = scores + mem_bias_ref[b]  # [S, H] + [S, 1]
+            m = jnp.max(scores, axis=0, keepdims=True)
+            e = jnp.exp(scores - m)
+            s = jnp.sum(e, axis=0, keepdims=True)
+            w = (e / s).astype(bf16)  # [S, H]
+            wexp = jnp.dot(w, g_ref[:].T, preferred_element_type=f32)
+            outs.append(
+                jnp.sum(wexp * values.astype(f32), axis=0, keepdims=True)
+            )
+        return pad_rows(outs)
 
     stage_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
 
-    def attend_self(q32, keys, values, kst, vst, k_now, v_now, t, base):
-        """Causal self-attention over three key/value sources:
-          keys/values [T, D]   flushed cache rows  (valid: row < base)
-          kst/vst     [8, D]   staging rows        (valid: row < t - base)
-          k_now/v_now [1, D]   the current step    (always valid)
+    def attend_self(q32, l, k_t, v_t, t, base):
+        """Causal self-attention for all batch rows over three key/value
+        sources per row b:
+          kcache/vcache[l*B+b] [T, D]  flushed cache rows  (valid: row < base)
+          kstage/vstage[l*B+b] [8, D]  staging rows        (valid: row < t - base)
+          k_t/v_t[b]           [1, D]  the current step    (always valid)
         One softmax across all parts (the flushed cache is never rewritten
         per step — the masked O(T) read-modify-write this replaces was the
-        kernel's dominant VPU cost)."""
-        qrow = (q32[0:1, :] / np.sqrt(DH)).astype(bf16)
-        s1 = jnp.dot((keys * qrow).astype(bf16), g_ref[:],
-                     preferred_element_type=f32)  # [T, H]
-        s1 = s1 + (t_iota >= base).astype(f32) * neg
-        s2 = jnp.dot((kst * qrow).astype(bf16), g_ref[:],
-                     preferred_element_type=f32)  # [8, H]
-        s2 = s2 + (stage_iota >= t - base).astype(f32) * neg
-        s3 = jnp.dot((k_now * qrow).astype(bf16), g_ref[:],
-                     preferred_element_type=f32)  # [1, H]
-        m = jnp.maximum(
-            jnp.max(s1, axis=0, keepdims=True),
-            jnp.maximum(jnp.max(s2, axis=0, keepdims=True), s3),
-        )
-        e1 = jnp.exp(s1 - m)
-        e2 = jnp.exp(s2 - m)
-        e3 = jnp.exp(s3 - m)
-        denom = (
-            jnp.sum(e1, axis=0, keepdims=True)
-            + jnp.sum(e2, axis=0, keepdims=True)
-            + e3
-        )
-        w1 = (e1 / denom).astype(bf16)
-        w2 = (e2 / denom).astype(bf16)
-        w3 = (e3 / denom).astype(bf16)
-        o = jnp.sum(
-            jnp.dot(w1, g_ref[:].T, preferred_element_type=f32)
-            * values.astype(f32),
-            axis=0, keepdims=True,
-        )
-        o = o + jnp.sum(
-            jnp.dot(w2, g_ref[:].T, preferred_element_type=f32)
-            * vst.astype(f32),
-            axis=0, keepdims=True,
-        )
-        o = o + jnp.dot(w3, g_ref[:].T, preferred_element_type=f32) * v_now.astype(f32)
-        return jnp.broadcast_to(o, (SUB, D))
+        kernel's dominant VPU cost).  Returns [SUB, D] f32."""
+        mask1 = (t_iota >= base).astype(f32) * neg
+        mask2 = (stage_iota >= t - base).astype(f32) * neg
+        outs = []
+        for b in range(B):
+            qrow = (q32[b : b + 1, :] / np.sqrt(DH)).astype(bf16)
+            keys, values = kcache[l * B + b], vcache[l * B + b]
+            kst, vst = kstage[l * B + b], vstage[l * B + b]
+            know = k_t[b : b + 1, :]
+            vnow = v_t[b : b + 1, :]
+            s1 = jnp.dot((keys * qrow).astype(bf16), g_ref[:],
+                         preferred_element_type=f32)  # [T, H]
+            s1 = s1 + mask1
+            s2 = jnp.dot((kst * qrow).astype(bf16), g_ref[:],
+                         preferred_element_type=f32)  # [8, H]
+            s2 = s2 + mask2
+            s3 = jnp.dot((know * qrow).astype(bf16), g_ref[:],
+                         preferred_element_type=f32)  # [1, H]
+            m = jnp.maximum(
+                jnp.max(s1, axis=0, keepdims=True),
+                jnp.maximum(jnp.max(s2, axis=0, keepdims=True), s3),
+            )
+            e1 = jnp.exp(s1 - m)
+            e2 = jnp.exp(s2 - m)
+            e3 = jnp.exp(s3 - m)
+            denom = (
+                jnp.sum(e1, axis=0, keepdims=True)
+                + jnp.sum(e2, axis=0, keepdims=True)
+                + e3
+            )
+            w1 = (e1 / denom).astype(bf16)
+            w2 = (e2 / denom).astype(bf16)
+            w3 = (e3 / denom).astype(bf16)
+            o = jnp.sum(
+                jnp.dot(w1, g_ref[:].T, preferred_element_type=f32)
+                * values.astype(f32),
+                axis=0, keepdims=True,
+            )
+            o = o + jnp.sum(
+                jnp.dot(w2, g_ref[:].T, preferred_element_type=f32)
+                * vst.astype(f32),
+                axis=0, keepdims=True,
+            )
+            o = o + jnp.dot(
+                w3, g_ref[:].T, preferred_element_type=f32
+            ) * vnow.astype(f32)
+            outs.append(o)
+        return pad_rows(outs)
 
-    stage3_iota = jax.lax.broadcasted_iota(jnp.int32, (L, SUB, 1), 1)
+    stage3_iota = jax.lax.broadcasted_iota(jnp.int32, (L * B, SUB, 1), 1)
+    mstage_iota = jax.lax.broadcasted_iota(jnp.int32, (B, SUB, 1), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
 
     def step(t, _):
         base = (t // 8) * 8
         new_k, new_v = [], []
-        # prenet on the previous mel frame
+        # prenet on the previous mel frames (rows 0..B-1)
         x = jnp.dot(
             mel_s[:].astype(bf16), prenet_w1_ref[:NMEL, :],
             preferred_element_type=f32,
@@ -242,7 +269,7 @@ def _decode_kernel(
         pe_row = jnp.sum(
             pe_ref[:] * (t_iota == t).astype(f32), axis=0, keepdims=True
         )
-        x = x + pe_row
+        x = x + pe_row  # same position for every batch row
 
         def layer_body(l, x):
             if L % 2 == 0:
@@ -269,20 +296,18 @@ def _decode_kernel(
             )  # [SUB, 3D]
             qkv = qkv + biases_ref[l, 0:1, : 3 * D]
             q = qkv[:, :D]
-            k_t = qkv[0:1, D : 2 * D].astype(bf16)
-            v_t = qkv[0:1, 2 * D :].astype(bf16)
+            k_t = qkv[:, D : 2 * D].astype(bf16)  # rows 0..B-1 live
+            v_t = qkv[:, 2 * D :].astype(bf16)
             new_k.append(k_t)
             new_v.append(v_t)
-            sa = attend_self(
-                q, kcache[l], vcache[l], kstage[l], vstage[l], k_t, v_t, t, base
-            )
+            sa = attend_self(q, l, k_t, v_t, t, base)
             sa = jnp.dot(sa.astype(bf16), wo_s[slot], preferred_element_type=f32)
             sa = sa + biases_ref[l, 1:2, :D]
             x = ln(x + sa, 3 * l + 0)
             # ---- cross-attention ----
             cq = jnp.dot(x.astype(bf16), wcq_s[slot], preferred_element_type=f32)
             cq = cq + biases_ref[l, 2:3, :D]
-            ca = attend(cq, memk[l], memv[l], mem_bias_ref[:], 0)
+            ca = attend_cross(cq, l)
             ca = jnp.dot(ca.astype(bf16), wco_s[slot], preferred_element_type=f32)
             ca = ca + biases_ref[l, 3:4, :D]
             x = ln(x + ca, 3 * l + 1)
@@ -300,18 +325,33 @@ def _decode_kernel(
 
         mel_t = jnp.dot(x.astype(bf16), mel_w_ref[:], preferred_element_type=f32)
         mel_t = mel_t + mel_b_ref[0:1, :]
-        mel_s[:] = jnp.broadcast_to(mel_t[0:1, :], (SUB, NMEL))
+        # dead rows B..SUB-1 are zeroed so they can't drift to inf/NaN across
+        # steps (they feed back through the prenet matmul)
+        mel_s[:] = jnp.where(row_iota < B, mel_t, 0.0)
 
-        # stage this step's K/V (all layers at once) and mel row: an O(8)
+        # stage this step's K/V (all layers at once) and mel rows: an O(8)
         # masked write instead of the O(T) cache rewrite
         j = t - base
-        stage_mask = stage3_iota == j  # [L, 8, 1] / [8, 1]
-        ks = jnp.concatenate([k[None] for k in new_k], axis=0)  # [L, 1, D]
-        vs = jnp.concatenate([v[None] for v in new_v], axis=0)
-        kstage[:] = jnp.where(stage_mask, jnp.broadcast_to(ks, (L, 8, D)), kstage[:])
-        vstage[:] = jnp.where(stage_mask, jnp.broadcast_to(vs, (L, 8, D)), vstage[:])
+        stage_mask = stage3_iota == j  # [L*B, 8, 1]
+        ks = jnp.concatenate(
+            [k[b : b + 1][None] for k in new_k for b in range(B)], axis=0
+        )  # [L*B, 1, D]
+        vs = jnp.concatenate(
+            [v[b : b + 1][None] for v in new_v for b in range(B)], axis=0
+        )
+        kstage[:] = jnp.where(
+            stage_mask, jnp.broadcast_to(ks, (L * B, SUB, D)), kstage[:]
+        )
+        vstage[:] = jnp.where(
+            stage_mask, jnp.broadcast_to(vs, (L * B, SUB, D)), vstage[:]
+        )
+        mel_rows = jnp.concatenate(
+            [mel_t[b : b + 1][None] for b in range(B)], axis=0
+        )  # [B, 1, NMEL]
         mstage[:] = jnp.where(
-            stage_iota == j, jnp.broadcast_to(mel_t[0:1, :], (8, NMEL)), mstage[:]
+            mstage_iota == j,
+            jnp.broadcast_to(mel_rows, (B, SUB, NMEL)),
+            mstage[:],
         )
 
         # aligned flush every 8 steps: staging -> cache/output via DMA
@@ -330,7 +370,7 @@ def _decode_kernel(
             vstage, vcache.at[:, pl.ds(start, 8), :], f_sems.at[1]
         )
         d3 = pltpu.make_async_copy(
-            mstage, out_ref.at[pl.ds(start, 8), :], f_sems.at[2]
+            mstage, out_ref.at[:, pl.ds(start, 8), :], f_sems.at[2]
         )
         d1.start(); d2.start(); d3.start()
         d1.wait(); d2.wait(); d3.wait()
@@ -344,24 +384,44 @@ def _decode_kernel(
         flush((n_steps_ref[0] // 8) * 8)
 
 
+def pallas_decode_vmem_bytes(
+    L: int, B: int, T: int, S: int, d: int, ff: int
+) -> int:
+    """Estimated VMEM footprint of the mega-kernel's scratch buffers."""
+    t_pad = -(-T // 8) * 8
+    caches = 2 * L * B * t_pad * d * 2
+    mem = 2 * L * B * S * d * 2
+    weights = 2 * (3 * d * d + 3 * d * d + 2 * d * ff) * 2
+    pe_out = t_pad * d * 4 + B * t_pad * 128 * 4
+    return caches + mem + weights + pe_out
+
+
+def pallas_decode_fits(L: int, B: int, T: int, S: int, d: int, ff: int) -> bool:
+    """True if the batched kernel's scratch fits the VMEM budget."""
+    return pallas_decode_vmem_bytes(L, B, T, S, d, ff) < 88 * 1024 * 1024
+
+
 def pallas_ar_decode(
     dp,  # DecodeParams (from models.ar_decoder.extract_decode_params)
-    mem_k: jnp.ndarray,  # [L, 1, S, H, dh]
+    mem_k: jnp.ndarray,  # [L, B, S, H, dh]
     mem_v: jnp.ndarray,
     max_len: int,
-    memory_key_padding_mask: Optional[jnp.ndarray],  # [1, T] bool or None
+    memory_key_padding_mask: Optional[jnp.ndarray],  # [B, S] bool or None
     n_heads: int,
     n_mels: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the mega-kernel.  Returns mel [1, max_len, n_mels] (f32)."""
+    """Run the mega-kernel.  Returns mel [B, max_len, n_mels] (f32)."""
     L, d, d3 = dp.wqkv.shape
     FF = dp.w1.shape[-1]
     T = -(-max_len // 8) * 8  # buffers padded to the 8-step flush granularity
+    B = mem_k.shape[1]
     S = mem_k.shape[2]
     H = n_heads
     NMEL_PAD = 128  # lane-pad the mel dim
     bf16 = jnp.bfloat16
+    if B > SUB:
+        raise ValueError(f"pallas_ar_decode supports batch <= {SUB}, got {B}")
 
     # ---- pack small operands ----
     BW = max(FF, 3 * d)
@@ -387,17 +447,18 @@ def pallas_ar_decode(
     pe = dp.pe[:T].astype(jnp.float32)
     g = jnp.asarray(_head_group_matrix(d, H)).astype(bf16)
     if memory_key_padding_mask is not None:
-        mem_bias = jnp.where(memory_key_padding_mask[0], -1e9, 0.0).astype(
+        mem_bias = jnp.where(memory_key_padding_mask, -1e9, 0.0).astype(
             jnp.float32
-        )[:, None]
+        )[:, :, None]  # [B, S, 1]
     else:
-        mem_bias = jnp.zeros((S, 1), jnp.float32)
+        mem_bias = jnp.zeros((B, S, 1), jnp.float32)
 
-    mem_k_flat = mem_k[:, 0].reshape(L, S, d).astype(bf16)
-    mem_v_flat = mem_v[:, 0].reshape(L, S, d).astype(bf16)
+    # [L, B, S, H, dh] -> [L*B, S, d]
+    mem_k_flat = mem_k.reshape(L * B, S, d).astype(bf16)
+    mem_v_flat = mem_v.reshape(L * B, S, d).astype(bf16)
 
     kernel = functools.partial(
-        _decode_kernel, L=L, T=T, S=S, D=d, H=H, FF=FF, NMEL=NMEL_PAD
+        _decode_kernel, L=L, B=B, T=T, S=S, D=d, H=H, FF=FF, NMEL=NMEL_PAD
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -424,10 +485,10 @@ def pallas_ar_decode(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((L, T, d), bf16),  # kcache
-            pltpu.VMEM((L, T, d), bf16),  # vcache
-            pltpu.VMEM((L, S, d), bf16),  # memk
-            pltpu.VMEM((L, S, d), bf16),  # memv
+            pltpu.VMEM((L * B, T, d), bf16),  # kcache
+            pltpu.VMEM((L * B, T, d), bf16),  # vcache
+            pltpu.VMEM((L * B, S, d), bf16),  # memk
+            pltpu.VMEM((L * B, S, d), bf16),  # memv
             pltpu.VMEM((2, d, 3 * d), bf16),  # wqkv slots
             pltpu.VMEM((2, d, d), bf16),  # wo
             pltpu.VMEM((2, d, d), bf16),  # wcq
@@ -435,9 +496,9 @@ def pallas_ar_decode(
             pltpu.VMEM((2, d, FF), bf16),  # w1
             pltpu.VMEM((2, FF, d), bf16),  # w2
             pltpu.VMEM((SUB, NMEL_PAD), jnp.float32),  # mel carry
-            pltpu.VMEM((L, SUB, d), bf16),  # kstage
-            pltpu.VMEM((L, SUB, d), bf16),  # vstage
-            pltpu.VMEM((SUB, NMEL_PAD), jnp.float32),  # mstage
+            pltpu.VMEM((L * B, SUB, d), bf16),  # kstage
+            pltpu.VMEM((L * B, SUB, d), bf16),  # vstage
+            pltpu.VMEM((B, SUB, NMEL_PAD), jnp.float32),  # mstage
             pltpu.SemaphoreType.DMA((2, 6)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((3,)),
@@ -446,7 +507,7 @@ def pallas_ar_decode(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, NMEL_PAD), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, T, NMEL_PAD), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -472,4 +533,4 @@ def pallas_ar_decode(
         mem_k_flat,
         mem_v_flat,
     )
-    return out[None, :max_len, :n_mels]
+    return out[:, :max_len, :n_mels]

@@ -132,6 +132,49 @@ class TestARDecode:
         assert np.abs(out - ref).mean() < 0.05
         assert np.isfinite(out).all()
 
+    def test_pallas_kernel_batched_matches_packed(self):
+        """Batched mega-kernel (batch rows riding the [8, d] sublane tile):
+        B=3 with per-element memory masks must match the packed scan, and
+        each batch row must equal its own B=1 kernel run (row independence)."""
+        from sambert_hifigan_tpu.models.ar_decoder import (
+            ar_decode_packed,
+            extract_decode_params,
+            precompute_memory_packed,
+        )
+        from sambert_hifigan_tpu.ops.pallas.decode_kernel import pallas_ar_decode
+
+        cfg = DecoderConfig(n_layers=2, n_heads=4, d_ff=64, dropout=0.0, max_len=64)
+        model = PNCAARDecoder(D, MELS, cfg, dtype=jnp.bfloat16)
+        hvar = _rand(17, 3, 12, D).astype(jnp.bfloat16)
+        params = model.init(
+            jax.random.PRNGKey(3), hvar, jnp.zeros((3, 12, MELS), jnp.bfloat16)
+        )
+        # different padding per batch element
+        mask = jnp.zeros((3, 12), bool)
+        mask = mask.at[0, 10:].set(True).at[1, 8:].set(True)
+        ref = np.asarray(
+            ar_decode_packed(model, params, hvar, 12, mask), np.float32
+        )
+        dp = extract_decode_params(model, params)
+        mk, mv = precompute_memory_packed(model, params, hvar)
+        out = np.asarray(
+            pallas_ar_decode(
+                dp, mk, mv, 12, mask, n_heads=4, n_mels=MELS, interpret=True
+            )
+        )
+        assert out.shape == ref.shape == (3, 12, MELS)
+        assert np.abs(out - ref).mean() < 0.05
+        assert np.isfinite(out).all()
+        # row independence: batch row 1 == its own single-row kernel run
+        mk1, mv1 = mk[:, 1:2], mv[:, 1:2]
+        solo = np.asarray(
+            pallas_ar_decode(
+                dp, mk1, mv1, 12, mask[1:2], n_heads=4, n_mels=MELS,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(out[1], solo[0], rtol=1e-3, atol=1e-3)
+
     def test_int8_kernel_quality(self):
         """Opt-in int8 decode: quantization noise must stay comparable to the
         bf16 path's noise relative to f32 ground truth."""
