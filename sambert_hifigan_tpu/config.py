@@ -121,6 +121,10 @@ class DiscriminatorConfig:
     msd_scales: int = 3
     msd_use_spectral_norm: bool = False
     mpd_use_spectral_norm: bool = False
+    # Divide every internal channel width by this factor (1 = exact reference
+    # sizes).  Tests use a large divisor so GAN train-step graphs compile in
+    # seconds instead of minutes on CPU; group counts shrink with the channels.
+    channel_div: int = 1
 
 
 @dataclass(frozen=True)

@@ -24,6 +24,7 @@ jitted program with static shapes (no Python loops over time).
 
 from __future__ import annotations
 
+import math
 from typing import List, Tuple
 
 import flax.linen as nn
@@ -169,12 +170,15 @@ class ScaleDiscriminator(nn.Module):
     """
 
     use_spectral_norm: bool = False
+    channel_div: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         # x: [B, 1, T] -> [B, T, 1]
         h = jnp.swapaxes(x, 1, 2)
+        div = self.channel_div
+        scale = lambda c: c if c == 1 else max(1, c // div)  # noqa: E731
         specs = [
             # (cin, cout, k, stride, groups, pad)
             (1, 128, 15, 1, 1, 7),
@@ -187,6 +191,8 @@ class ScaleDiscriminator(nn.Module):
         ]
         fmaps: List[jnp.ndarray] = []
         for i, (cin, cout, k, s, g, p) in enumerate(specs):
+            cin, cout = scale(cin), scale(cout)
+            g = math.gcd(g, math.gcd(cin, cout))
             h = Conv1d(
                 cin, cout, k, stride=s, groups=g, padding=p,
                 weight_norm=not self.use_spectral_norm,
@@ -195,7 +201,7 @@ class ScaleDiscriminator(nn.Module):
             h = leaky_relu(h, LRELU_SLOPE)
             fmaps.append(jnp.swapaxes(h, 1, 2))
         h = Conv1d(
-            1024, 1, 3, padding=1,
+            scale(1024), 1, 3, padding=1,
             weight_norm=not self.use_spectral_norm,
             dtype=self.dtype, name="conv_post",
         )(h)
@@ -212,6 +218,7 @@ class MultiScaleDiscriminator(nn.Module):
     """
 
     use_spectral_norm: bool = False
+    channel_div: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -225,7 +232,8 @@ class MultiScaleDiscriminator(nn.Module):
         scales = [xt, pooled_once, pooled_twice]
         for i, xs in enumerate(scales):
             out, fmaps = ScaleDiscriminator(
-                self.use_spectral_norm, dtype=self.dtype, name=f"disc_{i}"
+                self.use_spectral_norm, channel_div=self.channel_div,
+                dtype=self.dtype, name=f"disc_{i}"
             )(jnp.swapaxes(xs, 1, 2))
             outputs.append(out)
             fmaps_list.append(fmaps)
@@ -243,6 +251,7 @@ class PeriodDiscriminator(nn.Module):
     kernel_size: int = 5
     stride: int = 3
     use_spectral_norm: bool = False
+    channel_div: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -255,11 +264,14 @@ class PeriodDiscriminator(nn.Module):
         # [B, 1, T] -> [B, T/p, p, 1] (channel-last 2D)
         h = x.reshape(b, c, t // self.period, self.period)
         h = h.transpose(0, 2, 3, 1)
+        div = self.channel_div
+        scale = lambda ch: ch if ch == 1 else max(1, ch // div)  # noqa: E731
         channels = [(1, 32), (32, 128), (128, 512), (512, 1024)]
         fmaps: List[jnp.ndarray] = []
         for i, (cin, cout) in enumerate(channels):
             h = Conv2d(
-                cin, cout, (self.kernel_size, 1), stride=(self.stride, 1),
+                scale(cin), scale(cout), (self.kernel_size, 1),
+                stride=(self.stride, 1),
                 padding=(get_padding(self.kernel_size, 1), 0),
                 weight_norm=not self.use_spectral_norm,
                 dtype=self.dtype, name=f"conv_{i}",
@@ -267,13 +279,14 @@ class PeriodDiscriminator(nn.Module):
             h = leaky_relu(h, LRELU_SLOPE)
             fmaps.append(h.transpose(0, 3, 1, 2))  # [B, C, H, W]
         h = Conv2d(
-            1024, 1024, (self.kernel_size, 1), stride=(1, 1), padding=(2, 0),
+            scale(1024), scale(1024), (self.kernel_size, 1), stride=(1, 1),
+            padding=(2, 0),
             weight_norm=not self.use_spectral_norm, dtype=self.dtype, name="conv_4",
         )(h)
         h = leaky_relu(h, LRELU_SLOPE)
         fmaps.append(h.transpose(0, 3, 1, 2))
         h = Conv2d(
-            1024, 1, (3, 1), stride=(1, 1), padding=(1, 0),
+            scale(1024), 1, (3, 1), stride=(1, 1), padding=(1, 0),
             weight_norm=not self.use_spectral_norm, dtype=self.dtype, name="conv_post",
         )(h)
         out = h.transpose(0, 3, 1, 2)  # [B, 1, H, W]
@@ -286,6 +299,7 @@ class MultiPeriodDiscriminator(nn.Module):
 
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     use_spectral_norm: bool = False
+    channel_div: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -296,6 +310,7 @@ class MultiPeriodDiscriminator(nn.Module):
         for p in self.periods:
             out, fmaps = PeriodDiscriminator(
                 p, use_spectral_norm=self.use_spectral_norm,
+                channel_div=self.channel_div,
                 dtype=self.dtype, name=f"disc_p{p}",
             )(x)
             outputs.append(out)
@@ -317,11 +332,14 @@ class HiFiGAN(nn.Module):
     def setup(self):
         self.generator = HiFiGANGenerator(self.config.generator, dtype=self.dtype)
         self.msd = MultiScaleDiscriminator(
-            self.config.discriminator.msd_use_spectral_norm, dtype=self.dtype
+            self.config.discriminator.msd_use_spectral_norm,
+            channel_div=self.config.discriminator.channel_div,
+            dtype=self.dtype,
         )
         self.mpd = MultiPeriodDiscriminator(
             tuple(self.config.discriminator.mpd_periods),
             self.config.discriminator.mpd_use_spectral_norm,
+            channel_div=self.config.discriminator.channel_div,
             dtype=self.dtype,
         )
 

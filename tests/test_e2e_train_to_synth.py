@@ -5,6 +5,7 @@ restore into a TTSPipeline, synthesize.  This is the full production path
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,7 @@ import jax.numpy as jnp
 from sambert_hifigan_tpu.config import (
     AcousticModelConfig,
     DecoderConfig,
+    DiscriminatorConfig,
     EncoderConfig,
     GeneratorConfig,
     RuntimeConfig,
@@ -47,13 +49,18 @@ def _tiny_cfg():
                 resblock_kernel_sizes=(3,),
                 resblock_dilation_sizes=((1, 3),),
             ),
+            discriminator=DiscriminatorConfig(channel_div=16),
             loss_mode="mel_only",
         ),
         runtime=RuntimeConfig(phoneme_buckets=(16, 32), frame_buckets=(64, 128)),
     )
 
 
+@pytest.mark.slow
 def test_train_checkpoint_restore_synthesize(tmp_path):
+    """Marked slow (the single biggest compile stack in the suite); every
+    piece is covered individually by test_training, test_checkpoint, and
+    test_pipeline — this test is their integration, run via `-m ""`."""
     cfg = _tiny_cfg()
     rng = np.random.default_rng(0)
 

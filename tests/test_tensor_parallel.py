@@ -1,0 +1,173 @@
+"""Tensor-parallel numerical equivalence.
+
+The shape-rule TP path (parallel/sharding_rules.py) shards every rank>=2
+parameter whose output dim divides the 'model' axis; XLA inserts the matching
+collectives during partitioning.  Partitioning must not change the math: a
+train step on a data=4 x model=2 mesh has to reproduce the single-device
+step's metrics AND updated parameters on the same global batch (up to fp
+reassociation).  This mirrors the DP equivalence test in test_training.py
+for the 'model' axis (the reference has no distributed code at all —
+first-class absence, SURVEY.md section 2.4 row I-1).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sambert_hifigan_tpu.config import (
+    AcousticModelConfig,
+    DecoderConfig,
+    DiscriminatorConfig,
+    EncoderConfig,
+    GeneratorConfig,
+    TTSConfig,
+    VocoderConfig,
+)
+from sambert_hifigan_tpu.models.acoustic_model import SAMBERTAcousticModel
+from sambert_hifigan_tpu.models.hifigan import HiFiGAN
+from sambert_hifigan_tpu.parallel.mesh import create_mesh, shard_batch
+from sambert_hifigan_tpu.parallel.sharding_rules import (
+    shard_tree,
+    tp_sharding_for_leaf,
+)
+from sambert_hifigan_tpu.training.acoustic_trainer import (
+    init_acoustic_state,
+    make_jitted_acoustic_step,
+)
+from sambert_hifigan_tpu.training.vocoder_trainer import (
+    init_vocoder_state,
+    make_jitted_vocoder_step,
+)
+
+TINY_ACOUSTIC = AcousticModelConfig(
+    d_model=32,
+    encoder=EncoderConfig(n_layers=1, n_heads=4, d_ff=64),
+    decoder=DecoderConfig(n_layers=1, n_heads=4, d_ff=64, max_len=128),
+)
+TINY_VOC = VocoderConfig(
+    generator=GeneratorConfig(
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    ),
+    discriminator=DiscriminatorConfig(channel_div=16),
+)
+
+
+def _cfg():
+    return dataclasses.replace(
+        TTSConfig(), acoustic_model=TINY_ACOUSTIC, vocoder=TINY_VOC
+    )
+
+
+def _acoustic_batch(b=4, tph=6, maxf=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "ph_ids": jnp.asarray(rng.integers(4, 300, (b, tph)), jnp.int32),
+        "tone_ids": jnp.asarray(rng.integers(0, 10, (b, tph)), jnp.int32),
+        "boundary_ids": jnp.asarray(rng.integers(0, 5, (b, tph)), jnp.int32),
+        "dur_gt": jnp.asarray(rng.integers(1, 3, (b, tph)), jnp.int32),
+        "mel_gt": jnp.asarray(rng.standard_normal((b, maxf, 80)), jnp.float32),
+        "pitch_gt": jnp.asarray(rng.uniform(80, 600, (b, maxf)), jnp.float32),
+        "energy_gt": jnp.asarray(rng.uniform(0, 1, (b, maxf)), jnp.float32),
+        "phoneme_mask": jnp.ones((b, tph), bool),
+        "pitch_mask": jnp.asarray(rng.random((b, maxf)) > 0.3),
+    }
+
+
+def test_shape_rule_actually_shards():
+    """The tiny config's matrices (out dims 32/64/...) must trigger the rule,
+    otherwise the equivalence tests below would only test replication."""
+    mesh = create_mesh(data=4, model=2)
+    cfg = _cfg()
+    model = SAMBERTAcousticModel(cfg.acoustic_model)
+    state = init_acoustic_state(model, cfg, jax.random.PRNGKey(0), tph=6, max_frames=16)
+    leaves = jax.tree.leaves(state.params)
+    sharded = [
+        x for x in leaves
+        if tp_sharding_for_leaf(x, mesh).spec != jax.sharding.PartitionSpec()
+    ]
+    assert len(sharded) > 10, "shape rule sharded almost nothing"
+
+
+def test_acoustic_tp_matches_single_device():
+    """TP step reproduces single-device metrics for TWO consecutive steps
+    (step-2 metrics are computed from the step-1-updated params, so they
+    verify the update itself without leaf-wise Adam sign-flip fragility —
+    see the vocoder test's docstring)."""
+    cfg = _cfg()
+    model = SAMBERTAcousticModel(cfg.acoustic_model)
+    batch = _acoustic_batch()
+    batch2 = _acoustic_batch(seed=9)
+    rngk = jax.random.PRNGKey(5)
+    rngk2 = jax.random.PRNGKey(6)
+
+    state = init_acoustic_state(model, cfg, jax.random.PRNGKey(0), tph=6, max_frames=16)
+    snap = jax.device_get(state)
+
+    step1 = make_jitted_acoustic_step(model, cfg)
+    s1, m1 = step1(state, batch, rngk)
+    _, m1b = step1(s1, batch2, rngk2)
+
+    mesh = create_mesh(data=4, model=2)
+    state_tp = shard_tree(jax.tree.map(jnp.asarray, snap), mesh)
+    # same init (sharding is layout, not values)
+    for a, b in zip(jax.tree.leaves(snap.params), jax.tree.leaves(state_tp.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    step_tp = make_jitted_acoustic_step(model, cfg)  # shardings inferred
+    s2, m2 = step_tp(state_tp, shard_batch(batch, mesh), rngk)
+    _, m2b = step_tp(s2, shard_batch(batch2, mesh), rngk2)
+
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m2["total_loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        float(m1b["total_loss"]), float(m2b["total_loss"]), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(m1b["grad_norm"]), float(m2b["grad_norm"]), rtol=5e-3
+    )
+
+
+@pytest.mark.slow
+def test_vocoder_tp_matches_single_device():
+    """TP GAN step reproduces the single-device metrics for TWO consecutive
+    steps.  (Updated params are NOT compared leaf-wise: Adam's step-1 update
+    is lr * g / (|g| + eps), so a near-zero gradient's fp-reassociation noise
+    flips the update's sign — step-2 metrics computed FROM the updated params
+    are the robust equivalence signal.)"""
+    cfg = dataclasses.replace(_cfg(), vocoder=dataclasses.replace(TINY_VOC, loss_mode="adv_mel_fm"))
+    model = HiFiGAN(cfg.vocoder)
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.standard_normal((4, 80, 8)), jnp.float32)
+    wav = jnp.asarray(rng.standard_normal((4, 1, 8 * 256)) * 0.1, jnp.float32)
+    mel2 = jnp.asarray(rng.standard_normal((4, 80, 8)), jnp.float32)
+    wav2 = jnp.asarray(rng.standard_normal((4, 1, 8 * 256)) * 0.1, jnp.float32)
+
+    state = init_vocoder_state(model, cfg, jax.random.PRNGKey(0), mel_frames=8)
+    snap = jax.device_get(state)
+    step1 = make_jitted_vocoder_step(model, cfg)
+    s1, m1 = step1(state, mel, wav)
+    _, m1b = step1(s1, mel2, wav2)
+
+    mesh = create_mesh(data=4, model=2)
+    state_tp = shard_tree(jax.tree.map(jnp.asarray, snap), mesh)
+    step_tp = make_jitted_vocoder_step(model, cfg)
+    s2, m2 = step_tp(state_tp, *shard_batch((mel, wav), mesh))
+    _, m2b = step_tp(s2, *shard_batch((mel2, wav2), mesh))
+
+    for k in ("gen_loss", "disc_loss", "gen_mel_loss", "gen_fm_loss"):
+        np.testing.assert_allclose(
+            float(m1[k]), float(m2[k]), rtol=3e-4, err_msg=k
+        )
+        np.testing.assert_allclose(
+            float(m1b[k]), float(m2b[k]), rtol=2e-3, err_msg=f"step2:{k}"
+        )

@@ -1,5 +1,10 @@
 """Train-step tests: GAN step semantics per ablation mode, acoustic step,
 and data-parallel execution over the 8-device virtual mesh.
+
+Compile budget: jitted steps and initial states are built ONCE per
+(model, loss-mode) in module-level caches and shared across tests — XLA:CPU
+compiles of GAN gradient graphs are the most expensive thing in this suite.
+Donated-state steps get a fresh device copy from a host snapshot each time.
 """
 
 import dataclasses
@@ -12,8 +17,8 @@ import jax.numpy as jnp
 
 from sambert_hifigan_tpu.config import (
     AcousticModelConfig,
-    AudioConfig,
     DecoderConfig,
+    DiscriminatorConfig,
     EncoderConfig,
     GeneratorConfig,
     TTSConfig,
@@ -37,7 +42,11 @@ TINY_VOC = VocoderConfig(
         upsample_initial_channel=32,
         resblock_kernel_sizes=(3,),
         resblock_dilation_sizes=((1, 3),),
-    )
+    ),
+    # Shrink MSD/MPD widths 16x: the step semantics under test (who updates,
+    # metric schema, DP equivalence) do not depend on discriminator width, and
+    # full-size stacks made these graphs the slowest CPU compiles in the suite.
+    discriminator=DiscriminatorConfig(channel_div=16),
 )
 TINY_ACOUSTIC = AcousticModelConfig(
     d_model=32,
@@ -53,6 +62,41 @@ def _cfg(loss_mode="adv_mel_fm"):
         vocoder=dataclasses.replace(TINY_VOC, loss_mode=loss_mode),
         acoustic_model=TINY_ACOUSTIC,
     )
+
+
+# ---- shared compiled artifacts (one init + one step compile per mode) -------
+
+_VOC_CACHE = {}
+_AC_CACHE = {}
+
+
+def _voc_setup(mode):
+    """(cfg, model, fresh device state, shared jitted step) for a loss mode."""
+    if mode not in _VOC_CACHE:
+        cfg = _cfg(mode)
+        model = HiFiGAN(cfg.vocoder)
+        state = init_vocoder_state(model, cfg, jax.random.PRNGKey(0), mel_frames=8)
+        _VOC_CACHE[mode] = (
+            cfg, model, jax.device_get(state),
+            make_jitted_vocoder_step(model, cfg, loss_mode=mode),
+        )
+    cfg, model, snap, step = _VOC_CACHE[mode]
+    return cfg, model, jax.tree.map(jnp.asarray, snap), step
+
+
+def _ac_setup():
+    if not _AC_CACHE:
+        cfg = _cfg()
+        model = SAMBERTAcousticModel(cfg.acoustic_model)
+        state = init_acoustic_state(
+            model, cfg, jax.random.PRNGKey(0), tph=6, max_frames=16
+        )
+        _AC_CACHE["x"] = (
+            cfg, model, jax.device_get(state),
+            make_jitted_acoustic_step(model, cfg),
+        )
+    cfg, model, snap, step = _AC_CACHE["x"]
+    return cfg, model, jax.tree.map(jnp.asarray, snap), step
 
 
 def _gan_batch(b=2, tfrm=8, seed=0):
@@ -77,12 +121,9 @@ class TestVocoderTrainStep:
     # CPU compile in CI.
     @pytest.mark.parametrize("mode", ["mel_only", "adv_mel_fm"])
     def test_step_runs_and_updates(self, mode):
-        cfg = _cfg(mode)
-        model = HiFiGAN(cfg.vocoder)
-        state = init_vocoder_state(model, cfg, jax.random.PRNGKey(0), mel_frames=8)
-        d_before = jax.tree.map(lambda x: x.copy(), state.d_params)
-        g_before = jax.tree.map(lambda x: x.copy(), state.g_params)
-        step = make_jitted_vocoder_step(model, cfg, loss_mode=mode)
+        _, _, state, step = _voc_setup(mode)
+        d_before = jax.device_get(state.d_params)
+        g_before = jax.device_get(state.g_params)
         mel, wav = _gan_batch()
         state, metrics = step(state, mel, wav)
         assert int(state.step) == 1
@@ -111,10 +152,7 @@ class TestVocoderTrainStep:
 
     def test_mel_loss_decreases_mel_only(self):
         """A few mel_only steps on a fixed batch should reduce the mel loss."""
-        cfg = _cfg("mel_only")
-        model = HiFiGAN(cfg.vocoder)
-        state = init_vocoder_state(model, cfg, jax.random.PRNGKey(0), mel_frames=8)
-        step = make_jitted_vocoder_step(model, cfg, loss_mode="mel_only")
+        _, _, state, step = _voc_setup("mel_only")
         mel, wav = _gan_batch(seed=3)
         losses = []
         for _ in range(5):
@@ -124,7 +162,8 @@ class TestVocoderTrainStep:
 
 
 class TestAcousticTrainStep:
-    def _batch(self, b=2, tph=6, maxf=16, seed=0):
+    @staticmethod
+    def _batch(b=2, tph=6, maxf=16, seed=0):
         rng = np.random.default_rng(seed)
         return {
             "ph_ids": jnp.asarray(rng.integers(4, 300, (b, tph)), jnp.int32),
@@ -139,10 +178,7 @@ class TestAcousticTrainStep:
         }
 
     def test_step_and_loss_decreases(self):
-        cfg = _cfg()
-        model = SAMBERTAcousticModel(cfg.acoustic_model)
-        state = init_acoustic_state(model, cfg, jax.random.PRNGKey(0), tph=6, max_frames=16)
-        step = make_jitted_acoustic_step(model, cfg)
+        _, _, state, step = _ac_setup()
         batch = self._batch()
         losses = []
         key = jax.random.PRNGKey(1)
@@ -160,9 +196,12 @@ class TestAcousticTrainStep:
 
 
 class TestRemat:
+    @pytest.mark.slow
     def test_remat_is_math_identical(self):
         """jax.checkpoint layer remat must not change the training step's
-        numbers (it only trades backward-pass memory for recompute)."""
+        numbers (it only trades backward-pass memory for recompute).  The
+        remat=False arm reuses the shared compiled step; only the remat=True
+        graph compiles here."""
         import dataclasses as dc
 
         from sambert_hifigan_tpu.config import (
@@ -171,36 +210,37 @@ class TestRemat:
             EncoderConfig as EC,
         )
 
-        def mk(remat):
-            return dc.replace(
-                _cfg(),
-                acoustic_model=AMC(
-                    d_model=32,
-                    encoder=EC(n_layers=1, n_heads=4, d_ff=64, remat=remat),
-                    decoder=DC(n_layers=1, n_heads=4, d_ff=64, max_len=128,
-                               remat=remat),
-                ),
-            )
+        batch = TestAcousticTrainStep._batch()
+        _, _, state0, step0 = _ac_setup()
+        _, m0 = step0(state0, batch, jax.random.PRNGKey(1))
 
-        batch = TestAcousticTrainStep()._batch()
-        losses = []
-        for cfg in (mk(False), mk(True)):
-            model = SAMBERTAcousticModel(cfg.acoustic_model)
-            state = init_acoustic_state(
-                model, cfg, jax.random.PRNGKey(0), tph=6, max_frames=16
-            )
-            step = make_jitted_acoustic_step(model, cfg)
-            state, m = step(state, batch, jax.random.PRNGKey(1))
-            losses.append(float(m["total_loss"]))
-        assert losses[0] == pytest.approx(losses[1], rel=1e-5)
+        cfg_r = dc.replace(
+            _cfg(),
+            acoustic_model=AMC(
+                d_model=32,
+                encoder=EC(n_layers=1, n_heads=4, d_ff=64, remat=True),
+                decoder=DC(n_layers=1, n_heads=4, d_ff=64, max_len=128,
+                           remat=True),
+            ),
+        )
+        model_r = SAMBERTAcousticModel(cfg_r.acoustic_model)
+        state_r = init_acoustic_state(
+            model_r, cfg_r, jax.random.PRNGKey(0), tph=6, max_frames=16
+        )
+        step_r = make_jitted_acoustic_step(model_r, cfg_r)
+        _, m_r = step_r(state_r, batch, jax.random.PRNGKey(1))
+        assert float(m0["total_loss"]) == pytest.approx(
+            float(m_r["total_loss"]), rel=1e-5
+        )
 
 
 class TestDataParallel:
+    @pytest.mark.slow
     def test_vocoder_step_on_8_device_mesh(self):
+        """Second mesh data point (the acoustic DP test below is the default
+        gate): the GAN step with both optimizers runs sharded over data=8."""
         mesh = create_mesh(data=8, model=1)
-        cfg = _cfg("adv_mel_fm")
-        model = HiFiGAN(cfg.vocoder)
-        state = init_vocoder_state(model, cfg, jax.random.PRNGKey(0), mel_frames=8)
+        cfg, model, state, _ = _voc_setup("adv_mel_fm")
         state = replicate(state, mesh)
         step = make_jitted_vocoder_step(model, cfg, mesh=mesh)
         mel, wav = _gan_batch(b=8)
@@ -210,35 +250,24 @@ class TestDataParallel:
         for k, v in metrics.items():
             assert np.isfinite(float(v)), k
 
-    def test_acoustic_step_on_8_device_mesh(self):
-        mesh = create_mesh(data=8, model=1)
-        cfg = _cfg()
-        model = SAMBERTAcousticModel(cfg.acoustic_model)
-        state = init_acoustic_state(model, cfg, jax.random.PRNGKey(0), tph=6, max_frames=16)
-        state = replicate(state, mesh)
-        step = make_jitted_acoustic_step(model, cfg, mesh=mesh)
-        batch = TestAcousticTrainStep()._batch(b=8)
-        batch = shard_batch(batch, mesh)
-        state, metrics = step(state, batch, jax.random.PRNGKey(2))
-        assert np.isfinite(float(metrics["total_loss"]))
-
     def test_dp_grads_match_single_device(self):
         """Data-parallel training with replicated params must produce the same
         metrics as single-device on the same global batch (XLA all-reduce ==
-        serial sum, up to fp reassociation)."""
+        serial sum, up to fp reassociation).  Also the mesh-execution smoke
+        test: the step runs sharded over data=8."""
+        _, model, state1, step1 = _ac_setup()
         cfg = _cfg()
-        model = SAMBERTAcousticModel(cfg.acoustic_model)
-        state1 = init_acoustic_state(model, cfg, jax.random.PRNGKey(0), tph=6, max_frames=16)
-        batch = TestAcousticTrainStep()._batch(b=8)
+        batch = TestAcousticTrainStep._batch(b=8)
         rngk = jax.random.PRNGKey(5)
 
-        step1 = make_jitted_acoustic_step(model, cfg)
-        _, m1 = step1(jax.tree.map(lambda x: x.copy(), state1), batch, rngk)
+        _, m1 = step1(state1, batch, rngk)
 
         mesh = create_mesh(data=8, model=1)
-        state8 = replicate(init_acoustic_state(model, cfg, jax.random.PRNGKey(0), tph=6, max_frames=16), mesh)
+        _, _, state8, _ = _ac_setup()
+        state8 = replicate(state8, mesh)
         step8 = make_jitted_acoustic_step(model, cfg, mesh=mesh)
-        _, m8 = step8(state8, shard_batch(batch, mesh), rngk)
+        state8, m8 = step8(state8, shard_batch(batch, mesh), rngk)
+        assert int(state8.step) == 1
 
         np.testing.assert_allclose(
             float(m1["total_loss"]), float(m8["total_loss"]), rtol=2e-4
