@@ -45,6 +45,36 @@ def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
     return x[..., idx]
 
 
+def stft_complex(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    window: Optional[jnp.ndarray] = None,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Complex STFT of x [..., time] -> [..., n_freqs, T].
+
+    Same conventions as torch.stft(center=True, pad_mode="reflect",
+    onesided=True, normalized=False); used for magnitude everywhere and for
+    phase-spectrum visualization (reference: plot_new.py:110-121).
+    """
+    if window is None:
+        window = hann_window(win_length, dtype=x.dtype)
+    if win_length < n_fft:
+        # torch zero-pads the window symmetrically to n_fft.
+        left = (n_fft - win_length) // 2
+        window = jnp.pad(window, (left, n_fft - win_length - left))
+    if center:
+        pad = n_fft // 2
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    frames = frame_signal(x, n_fft, hop_length)  # [..., T, n_fft]
+    frames = frames * window
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [..., T, n_freqs]
+    # [..., n_freqs, T] to match torch layout
+    return jnp.swapaxes(spec, -1, -2)
+
+
 def stft_magnitude(
     x: jnp.ndarray,
     n_fft: int,
@@ -59,23 +89,10 @@ def stft_magnitude(
     Matches torch.stft(center=True, pad_mode="reflect", onesided=True,
     normalized=False) followed by abs()**power.
     """
-    if window is None:
-        window = hann_window(win_length, dtype=x.dtype)
-    if win_length < n_fft:
-        # torch zero-pads the window symmetrically to n_fft.
-        left = (n_fft - win_length) // 2
-        window = jnp.pad(window, (left, n_fft - win_length - left))
-    if center:
-        pad = n_fft // 2
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
-    frames = frame_signal(x, n_fft, hop_length)  # [..., T, n_fft]
-    frames = frames * window
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [..., T, n_freqs]
-    mag = jnp.abs(spec)
+    mag = jnp.abs(stft_complex(x, n_fft, hop_length, win_length, window, center))
     if power != 1.0:
         mag = mag**power
-    # [..., n_freqs, T] to match torch layout
-    return jnp.swapaxes(mag, -1, -2)
+    return mag
 
 
 def num_stft_frames(time: int, n_fft: int, hop_length: int, center: bool = True) -> int:

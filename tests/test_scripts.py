@@ -43,6 +43,17 @@ class TestPlotAudio:
         assert r.returncode == 0, r.stderr[-2000:]
         assert out.exists() and out.stat().st_size > 10_000
 
+    def test_phase_and_diagram_panels(self, tmp_path):
+        """Panels ported from the reference's plot_new.py / plot_all_diagrams.py
+        (phase spectra, percentile-clipped linear views, dB-re-max views)."""
+        wav = _make_wav(tmp_path)
+        out = tmp_path / "plot_all.png"
+        r = _run(["scripts/plot_audio.py", str(wav), "--output", str(out),
+                  "--panels", "channels,spec_mag,spec_db,phase,mel_power,mel_db",
+                  "--seconds", "0.4"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert out.exists() and out.stat().st_size > 10_000
+
 
 class TestEvaluate:
     def test_wav_comparison(self, tmp_path):
