@@ -56,6 +56,17 @@ def read_metadata(path: str) -> List[Utterance]:
     return utts
 
 
+def _reflect_pad_to(x: np.ndarray, target: int) -> np.ndarray:
+    """Right-pad 1-D x to `target` samples by repeated edge-free reflection
+    (numpy 'reflect' caps each application at len-1 samples)."""
+    while x.shape[-1] < target:
+        pad = min(target - x.shape[-1], x.shape[-1] - 1)
+        if pad <= 0:  # degenerate 1-sample signal
+            return np.pad(x, (0, target - x.shape[-1]))
+        x = np.pad(x, (0, pad), mode="reflect")
+    return x
+
+
 class TTSDataset:
     """Loads wavs, extracts/caches features, serves static-shape batches."""
 
@@ -86,7 +97,9 @@ class TTSDataset:
     def _extract_features(self, wav: jnp.ndarray):
         mel = log_mel_spectrogram(wav, self.audio)  # [n_mels, T]
         f0, voiced = extract_f0(wav, self.audio)
-        energy = extract_energy(wav, self.audio)
+        # Raw RMS here; load_features normalizes AFTER slicing to the true
+        # frame count so the [0, 1] peak is over real frames, not padding.
+        energy = extract_energy(wav, self.audio, normalize=False)
         return mel, f0, voiced, energy
 
     def _cache_key(self, utt: Utterance) -> Path:
@@ -118,9 +131,21 @@ class TTSDataset:
 
             wav = np.asarray(resample(jnp.asarray(wav), sr, self.audio.sample_rate))
         wav_mono = wav.mean(axis=0) if wav.shape[0] > 1 else wav[0]
-        mel, f0, voiced, energy = self._extract_jit(jnp.asarray(wav_mono))
+        # Bucket the waveform length so _extract_jit compiles once per bucket,
+        # not once per utterance.  Reflect padding reproduces the exact samples
+        # the centered STFT's own tail reflection would see, so every true
+        # frame matches unpadded extraction (up to ULP-level reassociation
+        # differences between the two compiled shapes).
+        n_true = wav_mono.shape[-1]
+        n_frames = n_true // self.audio.hop_length + 1
+        bucket = self.audio.hop_length * 64
+        padded = _reflect_pad_to(wav_mono, -(-n_true // bucket) * bucket)
+        mel, f0, voiced, energy = self._extract_jit(jnp.asarray(padded))
+        mel = mel[:, :n_frames]
+        f0, voiced = f0[:n_frames], voiced[:n_frames]
+        rms = np.asarray(energy[:n_frames], np.float32)
+        energy = rms / (rms.max() + 1e-8)
         ph, tone, bound = self.frontend.text_to_sequence(utt.text)
-        n_frames = mel.shape[1]
         dur = uniform_durations(len(ph), n_frames)
         feats = {
             "mel": np.asarray(mel, np.float32).T,  # [T, n_mels]

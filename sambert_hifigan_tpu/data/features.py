@@ -100,11 +100,19 @@ def extract_f0(
     return f0, voiced
 
 
-def extract_energy(wav: jnp.ndarray, audio: AudioConfig) -> jnp.ndarray:
+def extract_energy(
+    wav: jnp.ndarray, audio: AudioConfig, normalize: bool = True
+) -> jnp.ndarray:
     """Per-frame RMS normalized per utterance to [0, 1]
-    -> energy [..., T], T = time // hop + 1."""
+    -> energy [..., T], T = time // hop + 1.
+
+    normalize=False returns the raw RMS so callers that extract on padded
+    buffers can slice to the true frame count first and normalize over real
+    frames only (TTSDataset does this)."""
     frames = frame_waveform_centered(wav, audio.win_length, audio.hop_length)
     rms = jnp.sqrt(jnp.mean(jnp.square(frames), axis=-1) + 1e-12)
+    if not normalize:
+        return rms
     peak = jnp.max(rms, axis=-1, keepdims=True)
     return rms / (peak + 1e-8)
 

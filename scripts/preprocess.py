@@ -17,6 +17,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+import jax
+
+# This image force-registers the TPU backend from sitecustomize before
+# env vars can apply; SAMBERT_FORCE_CPU=1 reclaims a CPU run.
+import os as _os
+
+if _os.getenv("SAMBERT_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     from sambert_hifigan_tpu.config import default_config, load_config

@@ -135,6 +135,28 @@ class TestDataset:
         assert len(dataset) == 4
         assert dataset.utterances[0].text.startswith("你好")
 
+    def test_bucketed_extraction_matches_unpadded(self, dataset):
+        """load_features pads wavs to length buckets (one jit compile per
+        bucket, not per utterance); reflect padding makes every true frame
+        bit-identical to unpadded extraction."""
+        from sambert_hifigan_tpu.data.audio import load_wav
+        from sambert_hifigan_tpu.data.features import extract_energy, extract_f0
+        from sambert_hifigan_tpu.ops.mel import log_mel_spectrogram
+
+        utt = dataset.utterances[1]
+        feats = dataset.load_features(utt)
+        wav, _ = load_wav(dataset.root / utt.wav_path)
+        wav = jnp.asarray(wav[0])
+        t = int(wav.shape[-1]) // dataset.audio.hop_length + 1
+        mel = np.asarray(log_mel_spectrogram(wav, dataset.audio)).T[:t]
+        f0, _ = extract_f0(wav, dataset.audio)
+        energy = np.asarray(extract_energy(wav, dataset.audio))[:t]
+        # Same math, different compiled shape: XLA may reassociate
+        # reductions, so agreement is ULP-level, not bitwise.
+        np.testing.assert_allclose(feats["mel"], mel, atol=1e-5, rtol=0)
+        np.testing.assert_allclose(feats["f0"], np.asarray(f0)[:t], atol=1e-3, rtol=0)
+        np.testing.assert_allclose(feats["energy"], energy, atol=1e-6)
+
     def test_features_and_cache(self, dataset):
         f1 = dataset.load_features(dataset.utterances[0])
         assert f1["mel"].shape[1] == 80
