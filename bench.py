@@ -37,6 +37,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sambert_hifigan_tpu.utils.jax_cache import enable as _enable_jax_cache
+
+_enable_jax_cache()  # persistent XLA compile cache (SAMBERT_JAX_CACHE=0 disables)
+
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)

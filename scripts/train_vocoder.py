@@ -29,6 +29,10 @@ import os as _os
 
 if _os.getenv("SAMBERT_FORCE_CPU"):
     jax.config.update("jax_platforms", "cpu")
+
+from sambert_hifigan_tpu.utils.jax_cache import enable as _enable_jax_cache
+
+_enable_jax_cache()  # persistent XLA compile cache (SAMBERT_JAX_CACHE=0 disables)
 import jax.numpy as jnp
 import numpy as np
 

@@ -41,6 +41,13 @@ assert jax.device_count() >= 8, (
     f"Expected >=8 virtual CPU devices for sharding tests, got {jax.device_count()}"
 )
 
+# Persistent compile cache: the first full-suite run pays the XLA:CPU compile
+# cost once; later runs (and re-runs of single files) load serialized
+# executables in ms.  Also lets _drop_compiled_executables stay aggressive.
+from sambert_hifigan_tpu.utils.jax_cache import enable as _enable_jax_cache  # noqa: E402
+
+_enable_jax_cache()
+
 import pytest  # noqa: E402
 
 

@@ -87,8 +87,9 @@ class TestGenerator:
         """Generator at default config has exactly the reference's 13,926,017
         params (BASELINE.md, measured from reference models/hifigan.py:650-702)."""
         model = HiFiGANGenerator(GeneratorConfig())
-        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 4)))
-        n = sum(x.size for x in jax.tree.leaves(params))
+        # eval_shape: count params from the abstract init, no compile/compute
+        params = jax.eval_shape(model.init, jax.random.PRNGKey(0), jnp.zeros((1, 80, 4)))
+        n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
         assert n == 13_926_017, n
 
 
@@ -111,9 +112,8 @@ class TestMSD:
 
     def test_param_count_matches_reference(self):
         model = MultiScaleDiscriminator()
-        wav = jnp.zeros((1, 1, 1024))
-        params = model.init(jax.random.PRNGKey(0), wav)
-        n = sum(x.size for x in jax.tree.leaves(params))
+        params = jax.eval_shape(model.init, jax.random.PRNGKey(0), jnp.zeros((1, 1, 1024)))
+        n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
         # weight norm stores g [Cout] extra per conv vs the raw conv; torch's
         # weight_norm also stores (g, v), so totals match the reference's
         # measured 29,622,918 (BASELINE.md) plus nothing.
@@ -137,8 +137,9 @@ class TestMPD:
 
     def test_non_divisible_length_reflect_pad(self):
         # T=4001 is not divisible by any default period except none
-        # (reference: tests/test_multi_period_discriminator.py:43-58)
-        model = MultiPeriodDiscriminator()
+        # (reference: tests/test_multi_period_discriminator.py:43-58).
+        # Reflect-pad behavior is width-independent: narrow critics compile fast.
+        model = MultiPeriodDiscriminator(channel_div=8)
         wav = jnp.asarray(
             np.random.default_rng(1).standard_normal((1, 1, 4001)), jnp.float32
         )
@@ -151,9 +152,8 @@ class TestMPD:
 
     def test_param_count_matches_reference(self):
         model = MultiPeriodDiscriminator()
-        wav = jnp.zeros((1, 1, 512))
-        params = model.init(jax.random.PRNGKey(0), wav)
-        n = sum(x.size for x in jax.tree.leaves(params))
+        params = jax.eval_shape(model.init, jax.random.PRNGKey(0), jnp.zeros((1, 1, 512)))
+        n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
         assert n == 41_105_770, n
 
 
@@ -166,7 +166,9 @@ class TestHiFiGANFacade:
                 upsample_initial_channel=32,
                 resblock_kernel_sizes=(3,),
                 resblock_dilation_sizes=((1, 3),),
-            )
+            ),
+            # arity is width-independent; narrow critics compile in seconds
+            discriminator=DiscriminatorConfig(channel_div=8),
         )
         model = HiFiGAN(cfg)
         mel = jnp.asarray(np.random.default_rng(0).standard_normal((1, 80, 8)), jnp.float32)
