@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
+import os
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -88,6 +89,21 @@ class TTSDataset:
         )
         self.cache_dir = Path(cache_dir) if cache_dir else self.root / "feature_cache"
         self._extract_jit = jax.jit(self._extract_features)
+        # In-memory feature memo on top of the disk cache: trainers call
+        # load_features for every utterance every step, and per-step npz
+        # reads on the (single-core) host throttle the TPU step rate.
+        # Byte-bounded; once full, later utterances keep using the disk cache.
+        self._mem_cache: Dict[str, Dict[str, np.ndarray]] = {}
+        self._mem_bytes = 0
+        self._mem_limit = int(os.environ.get("SAMBERT_MEM_CACHE_MB", "1024")) << 20
+
+    def _memoize(self, utt: Utterance, feats: Dict[str, np.ndarray], replace: bool = False) -> None:
+        if replace and utt.wav_path in self._mem_cache:
+            self._mem_bytes -= sum(v.nbytes for v in self._mem_cache[utt.wav_path].values())
+        nbytes = sum(v.nbytes for v in feats.values())
+        if self._mem_bytes + nbytes <= self._mem_limit:
+            self._mem_cache[utt.wav_path] = feats
+            self._mem_bytes += nbytes
 
     def __len__(self) -> int:
         return len(self.utterances)
@@ -121,10 +137,15 @@ class TTSDataset:
         return load_wav(path)
 
     def load_features(self, utt: Utterance) -> Dict[str, np.ndarray]:
+        mem = self._mem_cache.get(utt.wav_path)
+        if mem is not None:
+            return mem
         cache = self._cache_key(utt)
         if cache.exists():
             z = np.load(cache)
-            return {k: z[k] for k in z.files}
+            feats = {k: z[k] for k in z.files}
+            self._memoize(utt, feats)
+            return feats
         wav, sr = self._read_wav(self.root / utt.wav_path)
         if sr != self.audio.sample_rate:
             from ..ops.mel import resample
@@ -160,6 +181,7 @@ class TTSDataset:
         }
         cache.parent.mkdir(parents=True, exist_ok=True)
         np.savez(cache, **feats)
+        self._memoize(utt, feats)
         return feats
 
     # ---- alignment ------------------------------------------------------------
@@ -193,6 +215,7 @@ class TTSDataset:
             f = dict(f)
             f["dur"] = dur.astype(np.int32)
             np.savez(self._cache_key(utt), **f)
+            self._memoize(utt, f, replace=True)
             if verbose:
                 print(f"[align] {utt.wav_path}: dur={dur.tolist()}")
         return losses
