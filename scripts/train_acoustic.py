@@ -126,7 +126,8 @@ def main():
                                       ["total_loss", "mel_loss", "dur_loss"]))
         if (i + 1) % save_interval == 0:
             ckpt.save(i + 1, jax.device_get(state))
-    ckpt.save(total_steps, jax.device_get(state))
+    if ckpt.latest_step() != total_steps:  # interval save may already cover it
+        ckpt.save(total_steps, jax.device_get(state))
     print(f"[train_acoustic] done at step {total_steps}; checkpoints in {ckpt_dir}")
 
 

@@ -145,7 +145,8 @@ def main():
                                       ["gen_loss", "gen_mel_loss", "disc_loss"]))
         if (i + 1) % save_interval == 0:
             ckpt.save(i + 1, jax.device_get(state))
-    ckpt.save(total_steps, jax.device_get(state))
+    if ckpt.latest_step() != total_steps:  # interval save may already cover it
+        ckpt.save(total_steps, jax.device_get(state))
     print(f"[train_vocoder] done at step {total_steps}; checkpoints in {ckpt_dir}")
 
 
