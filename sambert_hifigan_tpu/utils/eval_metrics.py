@@ -72,3 +72,41 @@ def mcd(
     diff = ca[1:] - cb[1:]  # drop c0 (energy)
     dist = np.sqrt(np.sum(diff**2, axis=0))
     return float((10.0 / np.log(10.0)) * np.sqrt(2.0) * np.mean(dist))
+
+
+def mel_mae_dtw(
+    wav_a: np.ndarray,
+    wav_b: np.ndarray,
+    audio: Optional[AudioConfig] = None,
+) -> float:
+    """Alignment-invariant mel-MAE: DTW over frames, then mean |diff| along
+    the optimal path.  Full TTS predicts its own durations, so a frame-wise
+    comparison against the recording conflates timing drift with spectral
+    error; DTW isolates the spectral part (standard practice for TTS MCD)."""
+    audio = audio or AudioConfig()
+    ma = np.asarray(log_mel_spectrogram(jnp.asarray(wav_a, jnp.float32), audio)).T
+    mb = np.asarray(log_mel_spectrogram(jnp.asarray(wav_b, jnp.float32), audio)).T
+    ta, tb = ma.shape[0], mb.shape[0]
+    # frame-pair cost: mean abs diff over mel bins
+    cost = np.abs(ma[:, None, :] - mb[None, :, :]).mean(-1)  # [ta, tb]
+    # plain-loop DP: a few hundred frames, negligible cost
+    acc = np.full((ta + 1, tb + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, ta + 1):
+        for j in range(1, tb + 1):
+            acc[i, j] = cost[i - 1, j - 1] + min(
+                acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1]
+            )
+    # recover path length for the mean
+    i, j, path_cost, steps = ta, tb, 0.0, 0
+    while i > 0 and j > 0:
+        path_cost += cost[i - 1, j - 1]
+        steps += 1
+        k = int(np.argmin([acc[i - 1, j - 1], acc[i - 1, j], acc[i, j - 1]]))
+        if k == 0:
+            i, j = i - 1, j - 1
+        elif k == 1:
+            i -= 1
+        else:
+            j -= 1
+    return float(path_cost / max(steps, 1))

@@ -52,7 +52,7 @@ def main():
     from sambert_hifigan_tpu.training.acoustic_trainer import init_acoustic_state
     from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
     from sambert_hifigan_tpu.training.vocoder_trainer import init_vocoder_state
-    from sambert_hifigan_tpu.utils.eval_metrics import mcd, mel_mae
+    from sambert_hifigan_tpu.utils.eval_metrics import mcd, mel_mae, mel_mae_dtw
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--metadata", type=str, default="data/demo/metadata.csv")
@@ -90,20 +90,22 @@ def main():
         copy_mcd.append(mcd(wav_gt[:n], wav_copy[:n], cfg.audio))
         save_wav(out / f"{Path(utt.wav_path).stem}_copy.wav", wav_copy, cfg.audio.sample_rate)
 
-        # Full TTS from the text.
+        # Full TTS from the text.  DTW-aligned mel-MAE: predicted durations
+        # need not match the recording frame-for-frame, and a raw frame-wise
+        # MAE mostly measures that timing drift.
         wav_tts = pipe.synthesize(utt.text)
         n = min(len(wav_gt), len(wav_tts))
-        tts_mae.append(mel_mae(wav_gt[:n], wav_tts[:n], cfg.audio))
+        tts_mae.append(mel_mae_dtw(wav_gt, wav_tts, cfg.audio))
         tts_mcd.append(mcd(wav_gt[:n], wav_tts[:n], cfg.audio))
         save_wav(out / f"{Path(utt.wav_path).stem}_tts.wav", wav_tts, cfg.audio.sample_rate)
         print(
             f"{utt.wav_path}: copy mel-MAE {copy_mae[-1]:.4f} MCD {copy_mcd[-1]:.3f} dB | "
-            f"tts mel-MAE {tts_mae[-1]:.4f} MCD {tts_mcd[-1]:.3f} dB"
+            f"tts dtw-mel-MAE {tts_mae[-1]:.4f} MCD {tts_mcd[-1]:.3f} dB"
         )
 
     print(
         f"AVG over {len(copy_mae)}: copy mel-MAE {np.mean(copy_mae):.4f} "
-        f"MCD {np.mean(copy_mcd):.3f} dB | tts mel-MAE {np.mean(tts_mae):.4f} "
+        f"MCD {np.mean(copy_mcd):.3f} dB | tts dtw-mel-MAE {np.mean(tts_mae):.4f} "
         f"MCD {np.mean(tts_mcd):.3f} dB"
     )
     print(f"wavs in {out}")

@@ -27,6 +27,7 @@ def main():
     from sambert_hifigan_tpu.utils.eval_metrics import (
         mcd,
         mel_mae,
+        mel_mae_dtw,
         mel_mae_from_mels,
     )
 
@@ -51,8 +52,9 @@ def main():
         return wav.mean(axis=0) if wav.shape[0] > 1 else wav[0]
 
     a, b = load(args.reference), load(args.candidate)
-    print(f"mel-MAE: {mel_mae(a, b, cfg.audio):.6f}")
-    print(f"MCD:     {mcd(a, b, cfg.audio):.3f} dB")
+    print(f"mel-MAE:     {mel_mae(a, b, cfg.audio):.6f}")
+    print(f"dtw-mel-MAE: {mel_mae_dtw(a, b, cfg.audio):.6f}")
+    print(f"MCD:         {mcd(a, b, cfg.audio):.3f} dB")
 
 
 if __name__ == "__main__":
