@@ -33,11 +33,18 @@ import optax
 
 from ..models.layers import Conv1d, LayerNorm, Linear
 
-BLANK_ID = 0  # PAD in the frontend id space; never a real phoneme (ids >= 2)
+# The CTC blank is a DEDICATED class at index vocab_size — not an id from
+# the frontend space.  The frontend maps ' ' to PAD_ID == 0, so id 0 CAN
+# appear in label sequences; reusing it as blank would both violate
+# optax.ctc_loss's blank-free-labels requirement and zero out the space
+# phoneme's emission in the Viterbi pass.
+def blank_id(vocab_size: int) -> int:
+    return vocab_size
 
 
 class CTCAlignerNet(nn.Module):
-    """mel [B, T, n_mels] -> framewise phoneme logits [B, T, vocab]."""
+    """mel [B, T, n_mels] -> framewise logits [B, T, vocab + 1]
+    (the extra class is the CTC blank)."""
 
     vocab_size: int = 300
     n_mels: int = 80
@@ -62,7 +69,7 @@ class CTCAlignerNet(nn.Module):
             y = jax.nn.relu(y)
             y = LayerNorm(self.d_model, dtype=self.dtype, name=f"norm_{i}")(y)
             x = x + y
-        return Linear(self.d_model, self.vocab_size, dtype=self.dtype,
+        return Linear(self.d_model, self.vocab_size + 1, dtype=self.dtype,
                       name="proj")(x)
 
 
@@ -119,7 +126,8 @@ def train_ctc_aligner(
         def loss_fn(p):
             logits = net.apply(p, mel)
             per_ex = optax.ctc_loss(
-                logits, mel_padding, labels, label_padding, blank_id=BLANK_ID
+                logits, mel_padding, labels, label_padding,
+                blank_id=blank_id(vocab_size),
             )
             frames = jnp.maximum(jnp.sum(1.0 - mel_padding, axis=-1), 1.0)
             return jnp.mean(per_ex / frames)
@@ -181,18 +189,19 @@ def viterbi_durations(log_probs: np.ndarray, labels: np.ndarray) -> np.ndarray:
         dur[n] += 1
         if t > 0 and back[t, n]:
             n -= 1
-    assert n == 0 and dur.sum() == t_len and (dur >= 1).all()
+    if not (n == 0 and dur.sum() == t_len and (dur >= 1).all()):
+        raise ValueError(
+            f"viterbi backtrack violated the duration contract "
+            f"(n={n}, sum={int(dur.sum())}, T={t_len})"
+        )
     return dur
 
 
 def nonblank_log_posteriors(logits: np.ndarray) -> np.ndarray:
     """log p(class | frame, not blank): CTC models are blank-peaky, so the
     blank-free Viterbi runs on posteriors renormalized over non-blank classes
-    (standard CTC-segmentation practice)."""
-    x = np.asarray(logits, np.float64)
-    x = np.concatenate(
-        [np.full((x.shape[0], 1), -1e18), x[:, 1:]], axis=1
-    )  # mask blank
+    (standard CTC-segmentation practice).  The blank is the LAST column."""
+    x = np.asarray(logits, np.float64)[:, :-1]  # drop the blank class
     x = x - x.max(axis=1, keepdims=True)
     lse = np.log(np.exp(x).sum(axis=1, keepdims=True))
     return x - lse

@@ -102,6 +102,10 @@ class TTSDataset:
             self._mem_bytes -= sum(v.nbytes for v in self._mem_cache[utt.wav_path].values())
         nbytes = sum(v.nbytes for v in feats.values())
         if self._mem_bytes + nbytes <= self._mem_limit:
+            # freeze the arrays: cached entries are shared across callers, so
+            # an in-place mutation would silently poison later reads
+            for v in feats.values():
+                v.flags.writeable = False
             self._mem_cache[utt.wav_path] = feats
             self._mem_bytes += nbytes
 
@@ -139,7 +143,7 @@ class TTSDataset:
     def load_features(self, utt: Utterance) -> Dict[str, np.ndarray]:
         mem = self._mem_cache.get(utt.wav_path)
         if mem is not None:
-            return mem
+            return dict(mem)  # shallow copy; arrays themselves are frozen
         cache = self._cache_key(utt)
         if cache.exists():
             z = np.load(cache)
@@ -156,11 +160,16 @@ class TTSDataset:
         # not once per utterance.  Reflect padding reproduces the exact samples
         # the centered STFT's own tail reflection would see, so every true
         # frame matches unpadded extraction (up to ULP-level reassociation
-        # differences between the two compiled shapes).
+        # differences between the two compiled shapes) — PROVIDED the pad is
+        # at least half a window: with a shorter pad the last true frame's
+        # window crosses the padded signal's edge and the STFT's internal
+        # reflection there reflects already-reflected samples.
         n_true = wav_mono.shape[-1]
         n_frames = n_true // self.audio.hop_length + 1
         bucket = self.audio.hop_length * 64
-        padded = _reflect_pad_to(wav_mono, -(-n_true // bucket) * bucket)
+        half_win = max(self.audio.n_fft, self.audio.win_length) // 2
+        target = -(-(n_true + half_win) // bucket) * bucket
+        padded = _reflect_pad_to(wav_mono, target)
         mel, f0, voiced, energy = self._extract_jit(jnp.asarray(padded))
         mel = mel[:, :n_frames]
         f0, voiced = f0[:n_frames], voiced[:n_frames]
@@ -211,7 +220,11 @@ class TTSDataset:
         )
         for utt, f in zip(self.utterances, feats):
             dur = ctc_durations(net, params, f["mel"], f["ph_ids"])
-            assert dur.sum() == f["mel"].shape[0]
+            if dur.sum() != f["mel"].shape[0]:
+                raise ValueError(
+                    f"{utt.wav_path}: aligner durations sum to {int(dur.sum())}"
+                    f" != {f['mel'].shape[0]} frames"
+                )
             f = dict(f)
             f["dur"] = dur.astype(np.int32)
             np.savez(self._cache_key(utt), **f)

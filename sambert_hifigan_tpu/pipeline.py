@@ -203,6 +203,46 @@ class TTSPipeline:
                 out = self.text_to_mel([text], max_frames=tfrm)
                 self.vocode(out.mel_pred)
 
+    def _frontend_args(self, texts, duration_scale, pitch_shift, energy_scale):
+        """Bucket-padded frontend features packed as jitted-fn args."""
+        feat = self.frontend.batch_forward(texts)
+        tph = pick_bucket(feat.ph_ids.shape[1], self.cfg.runtime.phoneme_buckets)
+        feat = self.frontend.batch_forward(texts, pad_to=tph)
+        args = (
+            jnp.asarray(feat.ph_ids),
+            jnp.asarray(feat.tone_ids),
+            jnp.asarray(feat.boundary_ids),
+            jnp.asarray(feat.phoneme_mask),
+            jnp.float32(duration_scale),
+            jnp.float32(pitch_shift),
+            jnp.float32(energy_scale),
+        )
+        return tph, args
+
+    def _dispatch_frame_budget(self, fn_for, tph, args, duration_scale, totals_of):
+        """Run a (tph, max_frames)-bucketed jitted fn under the frame-budget
+        heuristic: estimate, dispatch, and if predicted durations overflow the
+        bucket re-dispatch ONCE at the smallest bucket that fits (durations
+        are deterministic, so the re-run lands on the same totals).  Returns
+        (out, max_frames, need).  Shared by text_to_mel and stream so the two
+        paths can never disagree on bucket policy."""
+        buckets = self.cfg.runtime.frame_buckets
+        est = int(tph * 12 * max(duration_scale, 1.0))
+        max_frames = pick_bucket(min(est, max(buckets)), buckets)
+        out = fn_for(tph, max_frames)(self.acoustic_params, *args)
+        need = int(jax.device_get(totals_of(out)).max())
+        if need > max_frames and max_frames < max(buckets):
+            max_frames = pick_bucket(min(need, max(buckets)), buckets)
+            out = fn_for(tph, max_frames)(self.acoustic_params, *args)
+            need = int(jax.device_get(totals_of(out)).max())
+        if need > max_frames:
+            warnings.warn(
+                f"predicted {need} frames exceed the largest frame bucket "
+                f"({max_frames}); audio will be truncated - split the text "
+                "or enlarge runtime.frame_buckets"
+            )
+        return out, max_frames, need
+
     # ---- public API ----------------------------------------------------------
 
     def text_to_mel(
@@ -213,49 +253,15 @@ class TTSPipeline:
         energy_scale: float = 1.0,
         max_frames: Optional[int] = None,
     ):
-        feat = self.frontend.batch_forward(texts)
-        tph = pick_bucket(feat.ph_ids.shape[1], self.cfg.runtime.phoneme_buckets)
-        feat = self.frontend.batch_forward(texts, pad_to=tph)
-        auto_bucket = max_frames is None
-        if auto_bucket:
-            # frame budget estimate; overflow is detected and re-dispatched below
-            est = int(tph * 12 * max(duration_scale, 1.0))
-            max_frames = pick_bucket(
-                min(est, max(self.cfg.runtime.frame_buckets)),
-                self.cfg.runtime.frame_buckets,
-            )
-        args = (
-            jnp.asarray(feat.ph_ids),
-            jnp.asarray(feat.tone_ids),
-            jnp.asarray(feat.boundary_ids),
-            jnp.asarray(feat.phoneme_mask),
-            jnp.float32(duration_scale),
-            jnp.float32(pitch_shift),
-            jnp.float32(energy_scale),
+        tph, args = self._frontend_args(
+            texts, duration_scale, pitch_shift, energy_scale
         )
-        out = self._acoustic_fn(tph, max_frames)(self.acoustic_params, *args)
-        if auto_bucket:
-            # no silent truncation: if predicted durations exceed the bucket,
-            # re-dispatch at the smallest bucket that fits (durations are
-            # deterministic, so the re-run lands on the same totals)
-            need = int(jax.device_get(out.total_frames).max())
-            largest = max(self.cfg.runtime.frame_buckets)
-            if need > max_frames:
-                if max_frames < largest:
-                    bigger = pick_bucket(
-                        min(need, largest), self.cfg.runtime.frame_buckets
-                    )
-                    out = self._acoustic_fn(tph, bigger)(
-                        self.acoustic_params, *args
-                    )
-                    max_frames = bigger
-                    need = int(jax.device_get(out.total_frames).max())
-                if need > max_frames:
-                    warnings.warn(
-                        f"predicted {need} frames exceed the largest frame "
-                        f"bucket ({max_frames}); audio will be truncated — "
-                        "split the text or enlarge runtime.frame_buckets"
-                    )
+        if max_frames is not None:  # caller pinned the bucket
+            return self._acoustic_fn(tph, max_frames)(self.acoustic_params, *args)
+        out, _, _ = self._dispatch_frame_budget(
+            self._acoustic_fn, tph, args, duration_scale,
+            lambda o: o.total_frames,
+        )
         return out
 
     def vocode(self, mel_btc: jnp.ndarray) -> jnp.ndarray:
@@ -318,33 +324,14 @@ class TTSPipeline:
         to the one-shot synthesize() output for sufficient context
         (reference design.md:799-824's streaming goal; its chunk_size knob
         never actually chunked, reference: models/ar_decoder.py:198-229)."""
-        feat = self.frontend.batch_forward([text])
-        tph = pick_bucket(feat.ph_ids.shape[1], self.cfg.runtime.phoneme_buckets)
-        feat = self.frontend.batch_forward([text], pad_to=tph)
-        args = (
-            jnp.asarray(feat.ph_ids),
-            jnp.asarray(feat.tone_ids),
-            jnp.asarray(feat.boundary_ids),
-            jnp.asarray(feat.phoneme_mask),
-            jnp.float32(duration_scale),
-            jnp.float32(pitch_shift),
-            jnp.float32(energy_scale),
+        tph, args = self._frontend_args(
+            [text], duration_scale, pitch_shift, energy_scale
         )
-        est = int(tph * 12 * max(duration_scale, 1.0))
-        buckets = self.cfg.runtime.frame_buckets
-        max_frames = pick_bucket(min(est, max(buckets)), buckets)
-        va = self._encode_fn(tph, max_frames)(self.acoustic_params, *args)
-        total = int(jax.device_get(va.total_frames)[0])
-        if total > max_frames and max_frames < max(buckets):
-            max_frames = pick_bucket(min(total, max(buckets)), buckets)
-            va = self._encode_fn(tph, max_frames)(self.acoustic_params, *args)
-            total = int(jax.device_get(va.total_frames)[0])
-        if total > max_frames:
-            warnings.warn(
-                f"predicted {total} frames exceed the largest frame bucket "
-                f"({max_frames}); stream will be truncated"
-            )
-            total = max_frames
+        va, max_frames, total = self._dispatch_frame_budget(
+            self._encode_fn, tph, args, duration_scale,
+            lambda o: o.total_frames,
+        )
+        total = min(total, max_frames)
 
         decoder, prepare, decode_chunk = self._stream_decode_fns(
             max_frames, chunk_frames

@@ -82,31 +82,52 @@ def mel_mae_dtw(
     """Alignment-invariant mel-MAE: DTW over frames, then mean |diff| along
     the optimal path.  Full TTS predicts its own durations, so a frame-wise
     comparison against the recording conflates timing drift with spectral
-    error; DTW isolates the spectral part (standard practice for TTS MCD)."""
+    error; DTW isolates the spectral part (standard practice for TTS MCD).
+
+    Row-vectorized DP (one numpy pass per reference frame); cost rows are
+    computed on the fly, so memory is O(ta*tb) for the DP table plus one
+    [tb, n_mels] row — minutes-long audio stays tractable."""
     audio = audio or AudioConfig()
     ma = np.asarray(log_mel_spectrogram(jnp.asarray(wav_a, jnp.float32), audio)).T
     mb = np.asarray(log_mel_spectrogram(jnp.asarray(wav_b, jnp.float32), audio)).T
     ta, tb = ma.shape[0], mb.shape[0]
-    # frame-pair cost: mean abs diff over mel bins
-    cost = np.abs(ma[:, None, :] - mb[None, :, :]).mean(-1)  # [ta, tb]
-    # plain-loop DP: a few hundred frames, negligible cost
-    acc = np.full((ta + 1, tb + 1), np.inf)
-    acc[0, 0] = 0.0
-    for i in range(1, ta + 1):
-        for j in range(1, tb + 1):
-            acc[i, j] = cost[i - 1, j - 1] + min(
-                acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1]
-            )
-    # recover path length for the mean
-    i, j, path_cost, steps = ta, tb, 0.0, 0
-    while i > 0 and j > 0:
-        path_cost += cost[i - 1, j - 1]
+    acc = np.empty((ta, tb), np.float64)
+    move = np.empty((ta, tb), np.int8)  # 0=diag, 1=up (i-1), 2=left (j-1)
+    cost0 = np.abs(ma[0][None, :] - mb).mean(-1)
+    acc[0] = np.cumsum(cost0)
+    move[0] = 2
+    move[0, 0] = 0
+    for i in range(1, ta):
+        cost = np.abs(ma[i][None, :] - mb).mean(-1)  # [tb]
+        prev = acc[i - 1]
+        # candidates from diag (prev shifted) and up (prev); left handled by
+        # the running scan below
+        diag = np.concatenate(([np.inf], prev[:-1]))
+        best = np.where(diag <= prev, diag, prev)
+        mv = np.where(diag <= prev, 0, 1).astype(np.int8)
+        # left (j-1) transition: row[j] = cost[j] + min(best[j], row[j-1])
+        # unrolls to row[j] = Cs[j] + min_{k<=j}(best[k] - Cs[k-1]) — a
+        # min-plus prefix scan, vectorized with cumsum + minimum.accumulate
+        cs = np.cumsum(cost)
+        g = best - np.concatenate(([0.0], cs[:-1]))
+        gm = np.minimum.accumulate(g)
+        acc[i] = gm + cs
+        move[i] = np.where(gm < g, np.int8(2), mv)
+    # backtrack for the mean over the optimal path
+    i, j = ta - 1, tb - 1
+    path_cost, steps = 0.0, 0
+    while True:
+        path_cost += float(np.abs(ma[i] - mb[j]).mean())
         steps += 1
-        k = int(np.argmin([acc[i - 1, j - 1], acc[i - 1, j], acc[i, j - 1]]))
-        if k == 0:
+        if i == 0 and j == 0:
+            break
+        m = move[i, j]
+        if m == 0 and i > 0 and j > 0:
             i, j = i - 1, j - 1
-        elif k == 1:
+        elif m == 1 and i > 0:
             i -= 1
-        else:
+        elif j > 0:
             j -= 1
-    return float(path_cost / max(steps, 1))
+        else:
+            i -= 1
+    return float(path_cost / steps)

@@ -35,9 +35,8 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 SR = 22050
 
 
-def phoneme_prototype(ph_id: int, rng: np.random.Generator):
-    """Deterministic acoustic identity for a phoneme id."""
-    g = np.random.default_rng(ph_id)  # identity depends only on the id
+def phoneme_prototype(ph_id: int):
+    """Deterministic acoustic identity for a phoneme id (pure ord arithmetic)."""
     is_vowel = (ph_id % 3) != 0
     if is_vowel:
         f1 = 300.0 + (ph_id * 37 % 500)
@@ -80,7 +79,7 @@ def synth_utterance(text: str, rng) -> np.ndarray:
         # pitch: per-tone offset + utterance declination + vibrato
         f0 = base_f0 * (1.0 + 0.08 * tn) * (1.0 - 0.02 * i)
         f0_curve = f0 * (1.0 + 0.01 * np.sin(2 * np.pi * 5.0 * np.arange(n) / SR))
-        pieces.append(synth_phoneme(phoneme_prototype(int(p), rng), n, f0_curve, rng))
+        pieces.append(synth_phoneme(phoneme_prototype(int(p)), n, f0_curve, rng))
         if rng.random() < 0.15:  # occasional word-boundary pause
             pieces.append(np.zeros(int(0.04 * SR), np.float32))
     pieces.append(np.zeros(int(0.05 * SR), np.float32))  # EOS silence

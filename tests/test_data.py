@@ -135,6 +135,32 @@ class TestDataset:
         assert len(dataset) == 4
         assert dataset.utterances[0].text.startswith("你好")
 
+    def test_bucketed_extraction_matches_unpadded_near_bucket_edge(self, dataset, tmp_path):
+        """Wav length just below a bucket multiple (pad < half-window used to
+        double-reflect the last frame's window: max-abs mel err ~0.45)."""
+        from sambert_hifigan_tpu.data.audio import save_wav
+        from sambert_hifigan_tpu.data.dataset import TTSDataset, Utterance
+        from sambert_hifigan_tpu.data.features import extract_energy, extract_f0
+        from sambert_hifigan_tpu.ops.mel import log_mel_spectrogram
+
+        hop = dataset.audio.hop_length
+        n = hop * 64 - 100  # 100-sample pad to the bucket, << n_fft//2
+        rng = np.random.default_rng(7)
+        wav = (0.3 * rng.standard_normal(n)).astype(np.float32)
+        (tmp_path / "wavs").mkdir(exist_ok=True)
+        save_wav(tmp_path / "wavs/edge.wav", wav, dataset.audio.sample_rate)
+        (tmp_path / "metadata.csv").write_text("wavs/edge.wav|你好\n", encoding="utf-8")
+        ds2 = TTSDataset(str(tmp_path / "metadata.csv"), dataset.cfg)
+        feats = ds2.load_features(ds2.utterances[0])
+        from sambert_hifigan_tpu.data.audio import load_wav
+
+        wav16, _ = load_wav(tmp_path / "wavs/edge.wav")  # 16-bit round trip
+        t = n // hop + 1
+        mel = np.asarray(
+            log_mel_spectrogram(jnp.asarray(wav16[0]), dataset.audio)
+        ).T[:t]
+        np.testing.assert_allclose(feats["mel"], mel, atol=1e-5, rtol=0)
+
     def test_bucketed_extraction_matches_unpadded(self, dataset):
         """load_features pads wavs to length buckets (one jit compile per
         bucket, not per utterance); reflect padding makes every true frame
