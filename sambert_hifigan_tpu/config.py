@@ -163,6 +163,12 @@ class TrainStageConfig:
     beta1: float = 0.9
     beta2: float = 0.999
     weight_decay: float = 0.01
+    # Scheduled sampling ratio for the AR decoder (acoustic stage only; the
+    # reference trains pure teacher forcing - its unimplemented trainer has no
+    # such knob).  p > 0 mixes the model's OWN pass-1 predictions into the
+    # decoder input with per-frame probability p (two-pass parallel scheduled
+    # sampling), reducing exposure bias in free-running inference.  0 = off.
+    scheduled_sampling: float = 0.0
 
 
 @dataclass(frozen=True)

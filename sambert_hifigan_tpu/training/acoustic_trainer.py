@@ -63,26 +63,50 @@ def acoustic_train_step(
     model: SAMBERTAcousticModel,
     opt: optax.GradientTransformation,
     weights: LossWeights = LossWeights(),
+    scheduled_sampling: float = 0.0,
 ) -> Tuple[AcousticTrainState, Dict[str, jnp.ndarray]]:
     """batch keys: ph_ids, tone_ids, boundary_ids [B, Tph] int32;
     dur_gt [B, Tph] int32; mel_gt [B, maxF, n_mels]; pitch_gt, energy_gt
     [B, maxF]; phoneme_mask [B, Tph] bool; pitch_mask [B, maxF] bool
-    (voiced-frame mask, reference: models/losses.py:157-207)."""
+    (voiced-frame mask, reference: models/losses.py:157-207).
 
-    def loss_fn(params):
-        out = model.apply(
+    scheduled_sampling > 0 enables two-pass parallel scheduled sampling:
+    pass 1 runs the ordinary teacher-forced forward; pass 2 re-runs it with
+    each decoder-input frame replaced (per-frame Bernoulli(p)) by the
+    pass-1 prediction, and the loss is taken on pass 2.  Targets are
+    unchanged - only the decoder's conditioning mixes in its own outputs,
+    which narrows the train/inference mismatch of free-running AR decoding
+    (exposure bias).  The reference has no trainer, so pure teacher forcing
+    (p = 0) remains the default recipe."""
+    rng, ss_rng = jax.random.split(rng)
+
+    def forward(params, teacher_mel, dropout_rng):
+        return model.apply(
             params,
             batch["ph_ids"],
             batch["tone_ids"],
             batch["boundary_ids"],
-            batch["mel_gt"],
+            teacher_mel,
             batch["dur_gt"],
             batch.get("pitch_gt"),
             batch.get("energy_gt"),
             batch.get("phoneme_mask"),
             deterministic=False,
-            rngs={"dropout": rng},
+            rngs={"dropout": dropout_rng},
         )
+
+    def loss_fn(params):
+        teacher_mel = batch["mel_gt"]
+        if scheduled_sampling > 0.0:
+            pass1 = forward(params, teacher_mel, rng)
+            keep_own = jax.random.bernoulli(
+                ss_rng, scheduled_sampling,
+                teacher_mel.shape[:2] + (1,),
+            )
+            teacher_mel = jnp.where(
+                keep_own, jax.lax.stop_gradient(pass1.mel_pred), teacher_mel
+            )
+        out = forward(params, teacher_mel, rng)
         total, metrics = acoustic_loss(
             out.mel_pred,
             batch["mel_gt"],
@@ -114,7 +138,8 @@ def make_jitted_acoustic_step(
 ) -> Callable:
     opt = make_acoustic_optimizer(cfg)
     step = functools.partial(
-        acoustic_train_step, model=model, opt=opt, weights=cfg.loss_weights
+        acoustic_train_step, model=model, opt=opt, weights=cfg.loss_weights,
+        scheduled_sampling=cfg.training.acoustic.scheduled_sampling,
     )
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))

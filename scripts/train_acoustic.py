@@ -49,6 +49,10 @@ def parse_args():
                         "parallelism; devices/model must divide evenly)")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scheduled-sampling", type=float, default=None,
+                   help="per-frame probability of feeding the decoder its own "
+                        "pass-1 prediction instead of ground truth (two-pass "
+                        "scheduled sampling; default 0 = pure teacher forcing)")
     return p.parse_args()
 
 
@@ -70,6 +74,19 @@ def main():
         if args.config
         else default_config()
     )
+    if args.scheduled_sampling is not None:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg,
+            training=_dc.replace(
+                cfg.training,
+                acoustic=_dc.replace(
+                    cfg.training.acoustic,
+                    scheduled_sampling=args.scheduled_sampling,
+                ),
+            ),
+        )
     batch_size = args.batch_size or cfg.training.acoustic.batch_size
     mesh = create_mesh(model=args.model_parallel)
     n_dev = int(mesh.shape["data"])
