@@ -215,10 +215,11 @@ class TestAcousticTrainStep:
             weights=cfg.loss_weights, scheduled_sampling=0.5,
         ))
         # step_ss first: the shared step donates (deletes) its state arg
+        step0 = int(state.step)
         s_ss, m_ss = step_ss(state, batch, key)
         s_tf, m_tf = step_tf(state, batch, key)
         assert np.isfinite(float(m_ss["total_loss"]))
-        assert int(s_ss.step) == int(state.step) + 1
+        assert int(s_ss.step) == step0 + 1
         # same rng, same params: only the mixed conditioning differs
         # (compare mel_loss: the one term that depends on decoder input;
         # total_loss is dominated by the Hz-squared pitch term)
