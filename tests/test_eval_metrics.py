@@ -60,3 +60,50 @@ class TestMCD:
         ours = _mfcc_from_log_mel(log_mel, n_mfcc=13)
         want = dct(log_mel, type=2, axis=0, norm="ortho")[:13]
         np.testing.assert_allclose(ours, want, atol=1e-10)
+
+
+class TestMelMaeDtw:
+    def test_identity_is_zero(self):
+        from sambert_hifigan_tpu.utils.eval_metrics import mel_mae_dtw
+
+        wav = _tone(220.0, seed=0)
+        assert mel_mae_dtw(wav, wav, AUDIO) == 0.0
+
+    def test_time_warp_scores_below_frame_wise(self):
+        """A time-stretched copy has large frame-wise MAE (pure timing
+        drift) but the DTW path recovers most of the spectral match."""
+        from sambert_hifigan_tpu.utils.eval_metrics import mel_mae, mel_mae_dtw
+
+        wav = _tone(220.0, seed=0)
+        warped = np.concatenate([wav[:5000], wav[:5000], wav[5000:]])
+        assert mel_mae_dtw(wav, warped, AUDIO) < mel_mae(wav, warped, AUDIO)
+
+    def test_matches_bruteforce_dp_on_small_input(self):
+        """The vectorized min-plus scan must equal the plain O(ta*tb)
+        3-way-min DP (path cost, up to tie-breaks with equal cost)."""
+        from sambert_hifigan_tpu.ops.mel import log_mel_spectrogram
+        from sambert_hifigan_tpu.utils.eval_metrics import mel_mae_dtw
+
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        a = (0.2 * rng.standard_normal(AUDIO.hop_length * 6)).astype(np.float32)
+        b = (0.2 * rng.standard_normal(AUDIO.hop_length * 8)).astype(np.float32)
+        ma = np.asarray(log_mel_spectrogram(jnp.asarray(a), AUDIO)).T
+        mb = np.asarray(log_mel_spectrogram(jnp.asarray(b), AUDIO)).T
+        ta, tb = ma.shape[0], mb.shape[0]
+        cost = np.abs(ma[:, None, :] - mb[None, :, :]).mean(-1)
+        acc = np.full((ta + 1, tb + 1), np.inf)
+        acc[0, 0] = 0.0
+        for i in range(1, ta + 1):
+            for j in range(1, tb + 1):
+                acc[i, j] = cost[i - 1, j - 1] + min(
+                    acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1]
+                )
+        # optimal TOTAL path cost must match; recover ours from the mean by
+        # backtracking the same function (path mean * steps is path cost,
+        # and any optimal path has the same total cost)
+        got = mel_mae_dtw(a, b, AUDIO)
+        # brute-force minimal mean over the two extreme path lengths
+        lo, hi = max(ta, tb), ta + tb - 1
+        assert acc[ta, tb] / hi - 1e-6 <= got <= acc[ta, tb] / lo + 1e-6
