@@ -43,18 +43,33 @@ from .models.ar_decoder import (
     precompute_memory_packed,
 )
 from .models.hifigan import HiFiGANGenerator
+from .parallel.mesh import DATA_AXIS, replicate
 from .text.frontend import FrontEnd, pick_bucket
 
 
 class TTSPipeline:
+    """Text -> wav serving pipeline.
+
+    Pass `mesh` (a ('data', 'model') jax.sharding.Mesh) to serve batches
+    data-parallel across chips: parameters are replicated, batched inputs are
+    sharded over the 'data' axis, and XLA partitions every jitted stage
+    (batches are transparently padded to a multiple of the data-axis size).
+    The reference has no serving story at all; single-device behavior is
+    bit-identical with mesh=None."""
+
     def __init__(
         self,
         cfg: TTSConfig,
         acoustic_params,
         generator_params,
         dtype=jnp.float32,
+        mesh=None,
     ):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            acoustic_params = replicate(acoustic_params, mesh)
+            generator_params = replicate(generator_params, mesh)
         self.acoustic = SAMBERTAcousticModel(cfg.acoustic_model, dtype=dtype)
         self.generator = HiFiGANGenerator(cfg.vocoder.generator, dtype=dtype)
         self.acoustic_params = acoustic_params
@@ -203,8 +218,16 @@ class TTSPipeline:
                 out = self.text_to_mel([text], max_frames=tfrm)
                 self.vocode(out.mel_pred)
 
-    def _frontend_args(self, texts, duration_scale, pitch_shift, energy_scale):
-        """Bucket-padded frontend features packed as jitted-fn args."""
+    def _frontend_args(self, texts, duration_scale, pitch_shift, energy_scale,
+                       shard: bool = True):
+        """Bucket-padded frontend features packed as jitted-fn args.  With a
+        mesh, the batch is padded to a multiple of the data-axis size
+        (callers slice their outputs back to len(texts)) and batched arrays
+        are sharded over 'data'; shard=False replicates instead (the B=1
+        streaming path)."""
+        if self.mesh is not None and shard:
+            d = int(self.mesh.shape[DATA_AXIS])
+            texts = list(texts) + [texts[-1]] * ((-len(texts)) % d)
         feat = self.frontend.batch_forward(texts)
         tph = pick_bucket(feat.ph_ids.shape[1], self.cfg.runtime.phoneme_buckets)
         feat = self.frontend.batch_forward(texts, pad_to=tph)
@@ -217,6 +240,18 @@ class TTSPipeline:
             jnp.float32(pitch_shift),
             jnp.float32(energy_scale),
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def put(x):
+                spec = (
+                    P(DATA_AXIS, *([None] * (x.ndim - 1)))
+                    if (shard and x.ndim > 0)
+                    else P()
+                )
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+            args = tuple(put(x) for x in args)
         return tph, args
 
     def _dispatch_frame_budget(self, fn_for, tph, args, duration_scale, totals_of):
@@ -268,6 +303,12 @@ class TTSPipeline:
         """mel [B, T, n_mels] -> wav [B, 1, T * hop].  The single orientation
         seam: transpose to the vocoder's [B, n_mels, T]."""
         mel = jnp.swapaxes(mel_btc, 1, 2)
+        if self.mesh is not None and mel.shape[0] % int(self.mesh.shape[DATA_AXIS]) == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mel = jax.device_put(
+                mel, NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+            )
         fn = self._vocode_fn(mel.shape[-1])
         return fn(self.generator_params, mel)
 
@@ -325,7 +366,7 @@ class TTSPipeline:
         (reference design.md:799-824's streaming goal; its chunk_size knob
         never actually chunked, reference: models/ar_decoder.py:198-229)."""
         tph, args = self._frontend_args(
-            [text], duration_scale, pitch_shift, energy_scale
+            [text], duration_scale, pitch_shift, energy_scale, shard=False
         )
         va, max_frames, total = self._dispatch_frame_budget(
             self._encode_fn, tph, args, duration_scale,

@@ -147,3 +147,38 @@ class TestStreaming:
         chunks = list(pipeline.stream("你好世界", chunk_frames=8))
         assert all(c.shape[0] == 8 * HOP for c in chunks[:-1])
         assert sum(c.shape[0] for c in chunks) % HOP == 0
+
+
+class TestMeshServing:
+    def test_sharded_batch_matches_single_device(self, pipeline):
+        """mesh=... serves batches data-parallel; outputs must match the
+        unsharded pipeline (same params) to float tolerance."""
+        from sambert_hifigan_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()  # 8 virtual CPU devices, data=8
+        sharded = TTSPipeline(
+            pipeline.cfg,
+            pipeline.acoustic_params,
+            pipeline.generator_params,
+            mesh=mesh,
+        )
+        texts = ["你好世界", "天气真好", "山水"]  # 3 -> padded to 8 internally
+        ref = pipeline.synthesize_batch(texts)
+        got = sharded.synthesize_batch(texts)
+        assert len(got) == len(texts)
+        for r, g in zip(ref, got):
+            assert r.shape == g.shape
+            np.testing.assert_allclose(r, g, atol=2e-4)
+
+    def test_sharded_single_text(self, pipeline):
+        from sambert_hifigan_tpu.parallel.mesh import create_mesh
+
+        sharded = TTSPipeline(
+            pipeline.cfg,
+            pipeline.acoustic_params,
+            pipeline.generator_params,
+            mesh=create_mesh(),
+        )
+        ref = pipeline.synthesize("今天天气真好")
+        got = sharded.synthesize("今天天气真好")
+        np.testing.assert_allclose(ref, got, atol=2e-4)
