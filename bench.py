@@ -77,6 +77,115 @@ def timed_amortized(fn, reduce_fn, rtt, k=16, reps=5):
     return float(np.min(results))
 
 
+_PEAK_BF16_FLOPS = {
+    # device_kind substring (lowercase) -> peak bf16 FLOP/s per chip
+    "v4": 275e12,
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6": 918e12,
+    "trillium": 918e12,
+}
+
+
+def peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in _PEAK_BF16_FLOPS.items():
+        if sub in kind:
+            return peak
+    return None
+
+
+def compiled_flops(jitted, *args) -> float | None:
+    """XLA's own FLOP count for the compiled executable (counts what actually
+    runs, including both GAN towers and the backward pass)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception as e:  # noqa: BLE001 - diagnostics only
+        log(f"cost_analysis unavailable: {e}")
+        return None
+
+
+def bench_training(rtt: float) -> dict:
+    """Train-step surfaces (VERDICT r02 item 4): reference-shape batches on
+    the real chip, steps/s + MFU from XLA-counted FLOPs vs the chip's bf16
+    peak.  bf16 mixed precision is the default recipe
+    (TrainStageConfig.mixed_precision)."""
+    from sambert_hifigan_tpu.config import TTSConfig
+    from sambert_hifigan_tpu.data.dataset import synthetic_batch
+    from sambert_hifigan_tpu.models.acoustic_model import SAMBERTAcousticModel
+    from sambert_hifigan_tpu.models.hifigan import HiFiGAN
+    from sambert_hifigan_tpu.training.acoustic_trainer import (
+        init_acoustic_state,
+        make_jitted_acoustic_step,
+    )
+    from sambert_hifigan_tpu.training.vocoder_trainer import (
+        init_vocoder_state,
+        make_jitted_vocoder_step,
+    )
+
+    cfg = TTSConfig()
+    peak = peak_flops()
+    results = {}
+
+    def run(label, step, state, args, flops):
+        # warm/compile (donated state: thread it through every call)
+        state, m = step(state, *args)
+        sync = lambda mm: float(list(mm.values())[0])  # noqa: E731
+        sync(m)
+        reps, k = 3, 8
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                state, m = step(state, *args)
+            sync(m)
+            dt = max(time.perf_counter() - t0 - rtt, 1e-9) / k
+            best = dt if best is None else min(best, dt)
+        sps = 1.0 / best
+        results[f"train_{label}_steps_per_s"] = round(sps, 2)
+        msg = f"train {label}: {best * 1e3:.2f} ms/step ({sps:.2f} steps/s)"
+        if flops:
+            msg += f", {flops / 1e9:.1f} GFLOP/step -> {flops / best / 1e12:.1f} TFLOP/s"
+            if peak:
+                mfu = flops / best / peak
+                results[f"train_{label}_mfu"] = round(mfu, 3)
+                msg += f" = {mfu * 100:.1f}% MFU"
+        log(msg)
+
+    # ---- acoustic train step: B=16 (reference: configs/config.yaml batch 16),
+    # 48 phonemes x 384 frames (a typical 4.5 s utterance bucket)
+    b, tph, tfrm = 16, 48, 384
+    ac_model = SAMBERTAcousticModel(cfg.acoustic_model)
+    ac_state = init_acoustic_state(
+        ac_model, cfg, jax.random.PRNGKey(0), tph=tph, max_frames=tfrm, batch=1
+    )
+    ac_batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg, b, tph, tfrm).items()}
+    ac_step = make_jitted_acoustic_step(ac_model, cfg)
+    ac_flops = compiled_flops(ac_step, ac_state, ac_batch, jax.random.PRNGKey(1))
+    run("acoustic", ac_step, ac_state, (ac_batch, jax.random.PRNGKey(1)), ac_flops)
+
+    # ---- vocoder GAN step: B=16 x 32-frame crops (the standard HiFi-GAN
+    # recipe, data/dataset.py:296-319), adv_mel_fm = full loss stack
+    seg = 32
+    voc_model = HiFiGAN(cfg.vocoder)
+    voc_state = init_vocoder_state(
+        voc_model, cfg, jax.random.PRNGKey(2), mel_frames=seg, batch=1
+    )
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((b, cfg.audio.n_mels, seg)), jnp.float32)
+    wav = jnp.asarray(
+        rng.standard_normal((b, 1, seg * cfg.audio.hop_length)) * 0.1, jnp.float32
+    )
+    voc_step = make_jitted_vocoder_step(voc_model, cfg, loss_mode="adv_mel_fm")
+    voc_flops = compiled_flops(voc_step, voc_state, mel, wav)
+    run("vocoder", voc_step, voc_state, (mel, wav), voc_flops)
+    return results
+
+
 def main():
     from sambert_hifigan_tpu.config import TTSConfig
     from sambert_hifigan_tpu.pipeline import build_pipeline_from_random_init
@@ -141,6 +250,8 @@ def main():
         f"({bsz * max_frames / ac_b:.0f} frames/s aggregate, "
         f"{ac_b / ac_t:.2f}x the B=1 latency for {bsz}x the work)")
 
+    train_metrics = bench_training(rtt)
+
     print(
         json.dumps(
             {
@@ -151,6 +262,8 @@ def main():
                 "vs_baseline": round(0.1 / rtf, 2),
                 # vs this repo's own stricter target (< 0.05 RTF, BASELINE.md)
                 "vs_repo_target": round(0.05 / rtf, 2),
+                # train-step surfaces (bs16, reference shapes, bf16 recipe)
+                **train_metrics,
             }
         )
     )

@@ -169,6 +169,18 @@ class TrainStageConfig:
     # decoder input with per-frame probability p (two-pass parallel scheduled
     # sampling), reducing exposure bias in free-running inference.  0 = off.
     scheduled_sampling: float = 0.0
+    # GAN hygiene (vocoder stage only): update the discriminators every k-th
+    # step (1 = every step, the reference demo's recipe).  On small corpora
+    # the 70M-param MSD+MPD stack overpowers the generator (disc loss -> 0,
+    # gradients vanish); k=2..4 keeps D informative.  D gradients are still
+    # computed every step (one jitted program); only the update is gated.
+    d_update_every: int = 1
+    # bf16 mixed-precision training (the reference's own unchecked AMP task,
+    # reference: .kiro/specs/tts-sam-bert-hifigan/tasks.md:426-429): model
+    # compute (matmuls/convs/activations) in bfloat16 on the MXU, while
+    # master parameters, gradients, optimizer state, and all loss reductions
+    # stay float32.  bf16's f32-range exponent needs no loss scaling.
+    mixed_precision: bool = True
 
 
 @dataclass(frozen=True)

@@ -403,7 +403,7 @@ def _pallas_decode_wanted(
     on_tpu = jax.default_backend() == "tpu"
     cfg = model.config
     eligible = (
-        batch <= 8  # batch rows ride the [8, d] sublane tile
+        batch <= 32  # batch rows ride the [R, d] row tile (R = ceil(B/8)*8)
         and model.d_model % cfg.n_heads == 0
         and model.d_model >= 128  # lane-width floor for the head-fold trick
         and pallas_decode_fits(
@@ -430,12 +430,13 @@ def ar_decode(
     models/ar_decoder.py:191-233) carries all state in per-layer KV caches.
 
     Two engines, identical math:
-      * batch <= 8 on TPU (VMEM permitting): the Pallas mega-kernel
+      * batch <= 32 on TPU (VMEM permitting): the Pallas mega-kernel
         (ops/pallas/decode_kernel) runs the whole loop on-chip —
         VMEM-resident caches, double-buffered weight streaming, no per-step
-        dispatch overhead.  Batch rows ride the dead sublanes of the [8, d]
-        row tile, so every batch element shares ONE weight stream (the
-        bottleneck): batched decode costs ~the B=1 latency, not B kernel runs;
+        dispatch overhead.  Batch rows ride the sublanes of the [R, d]
+        row tile (R = ceil(B/8)*8 <= 32), so every batch element shares ONE
+        weight stream (the bottleneck): batched decode costs ~the B=1
+        latency, not B kernel runs;
       * otherwise: a lax.scan over packed weights (weight streaming amortizes
         across the large batch there).
     Override with use_pallas or SAMBERT_PALLAS_DECODE=0/1/auto.
@@ -447,7 +448,7 @@ def ar_decode(
 
     if use_pallas is None:
         use_pallas = _pallas_decode_wanted(model, b, max_len, hvar.shape[1])
-    if use_pallas and b <= 8:
+    if use_pallas and b <= 32:
         dp = extract_decode_params(model, params)
         mem_k, mem_v = precompute_memory_packed(model, params, hvar)
         kwargs = dict(

@@ -15,13 +15,16 @@ whole T-step, L-layer decode as ONE Pallas program:
 HBM traffic collapses to the irreducible weight stream (T * 16.5 MB), which
 double-buffering overlaps with compute.
 
-Batching (B <= 8): the row tile is [SUB=8, d] and a B=1 decode leaves 7 dead
-sublanes in every matmul.  Batch elements ride in those rows: all dense
-matmuls ([8, d] @ [d, *]) are the SAME size for any B <= 8, and the per-step
-weight stream — the bottleneck — is shared across the batch.  Only the
-attention reads (one [T, d] pass per batch row) and the cache staging scale
-with B, so batched decode costs ~the B=1 latency instead of B sequential
-kernel runs.
+Batching (B <= 32): the row tile is [R, d] with R = ceil(B/8)*8 (8, 16, or
+32 sublane rows) and a B=1 decode leaves 7 dead sublanes in every matmul.
+Batch elements ride in those rows: all dense matmuls ([R, d] @ [d, *]) are
+the SAME size for any B <= R, and the per-step weight stream — the
+bottleneck — is shared across the whole batch.  Only the attention reads
+(one [T, d] pass per batch row) and the cache staging scale with B, so
+batched decode costs ~the B=1 latency instead of B sequential kernel runs,
+and B=16/32 reuses ONE weight stream where two/four sequential B=8 launches
+would stream the weights two/four times.  (R is independent of the 8-step
+staging/flush granularity SUB, which stays fixed.)
 
 Head-folded attention (d = 256 = 8 heads x 32): with lanes packed h-major,
 scores for all heads come from one VPU multiply + one [T, d] @ G matmul where
@@ -43,7 +46,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SUB = 8  # sublane tile for row vectors; also the max kernel batch
+SUB = 8  # staging granularity (steps between cache flushes) and min row tile
+MAX_ROWS = 32  # max batch rows in one kernel (VMEM cache budget bound)
 
 
 def _head_group_matrix(d: int, n_heads: int, pad_to: int = 128) -> np.ndarray:
@@ -93,7 +97,7 @@ def _decode_kernel(
     wco_s,  # [2, d, d]
     w1_s,  # [2, d, ff]
     w2_s,  # [2, ff, d]
-    mel_s,  # [SUB, n_mels_pad] f32 (carries prev mel frames, rows 0..B-1)
+    mel_s,  # [R, n_mels_pad] f32 (carries prev mel frames, rows 0..B-1)
     kstage,  # [L*B, 8, d] bf16 staging (cache rows awaiting aligned flush)
     vstage,  # [L*B, 8, d] bf16
     mstage,  # [B, 8, n_mels_pad] f32
@@ -109,6 +113,7 @@ def _decode_kernel(
     H: int,
     FF: int,
     NMEL: int,
+    R: int = SUB,  # row tile (batch capacity): 8, 16 or 32 sublane rows
 ):
     DH = D // H
     f32 = jnp.float32
@@ -140,7 +145,7 @@ def _decode_kernel(
     # Zero state.  Caches/staging must not hold NaN garbage: masked-out rows
     # are still READ by the attention products before masking, and NaN * 0
     # poisons the softmax.  One-time O(L*B*T*D) init, amortized over all steps.
-    mel_s[:] = jnp.zeros((SUB, NMEL), f32)
+    mel_s[:] = jnp.zeros((R, NMEL), f32)
     kcache[:] = jnp.zeros((L * B, T, D), bf16)
     vcache[:] = jnp.zeros((L * B, T, D), bf16)
     kstage[:] = jnp.zeros((L * B, SUB, D), bf16)
@@ -162,10 +167,10 @@ def _decode_kernel(
         return y * ln_ref[2 * idx, :] + ln_ref[2 * idx + 1, :]
 
     def pad_rows(rows):
-        """Stack B [1, C] rows (+ zero rows) into a [SUB, C] tile."""
+        """Stack B [1, C] rows (+ zero rows) into an [R, C] tile."""
         c = rows[0].shape[-1]
-        if B < SUB:
-            rows = rows + [jnp.zeros((SUB - B, c), rows[0].dtype)]
+        if B < R:
+            rows = rows + [jnp.zeros((R - B, c), rows[0].dtype)]
         return jnp.concatenate(rows, axis=0)
 
     def attend_cross(q32, l):
@@ -251,7 +256,7 @@ def _decode_kernel(
 
     stage3_iota = jax.lax.broadcasted_iota(jnp.int32, (L * B, SUB, 1), 1)
     mstage_iota = jax.lax.broadcasted_iota(jnp.int32, (B, SUB, 1), 1)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
 
     def step(t, _):
         base = (t // 8) * 8
@@ -420,8 +425,9 @@ def pallas_ar_decode(
     H = n_heads
     NMEL_PAD = 128  # lane-pad the mel dim
     bf16 = jnp.bfloat16
-    if B > SUB:
-        raise ValueError(f"pallas_ar_decode supports batch <= {SUB}, got {B}")
+    if B > MAX_ROWS:
+        raise ValueError(f"pallas_ar_decode supports batch <= {MAX_ROWS}, got {B}")
+    R = max(SUB, -(-B // SUB) * SUB)  # row tile: 8, 16, 24 or 32
 
     # ---- pack small operands ----
     BW = max(FF, 3 * d)
@@ -458,7 +464,7 @@ def pallas_ar_decode(
     mem_v_flat = mem_v.reshape(L * B, S, d).astype(bf16)
 
     kernel = functools.partial(
-        _decode_kernel, L=L, B=B, T=T, S=S, D=d, H=H, FF=FF, NMEL=NMEL_PAD
+        _decode_kernel, L=L, B=B, T=T, S=S, D=d, H=H, FF=FF, NMEL=NMEL_PAD, R=R
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -495,7 +501,7 @@ def pallas_ar_decode(
             pltpu.VMEM((2, d, d), bf16),  # wco
             pltpu.VMEM((2, d, FF), bf16),  # w1
             pltpu.VMEM((2, FF, d), bf16),  # w2
-            pltpu.VMEM((SUB, NMEL_PAD), jnp.float32),  # mel carry
+            pltpu.VMEM((R, NMEL_PAD), jnp.float32),  # mel carry
             pltpu.VMEM((L * B, SUB, d), bf16),  # kstage
             pltpu.VMEM((L * B, SUB, d), bf16),  # vstage
             pltpu.VMEM((B, SUB, NMEL_PAD), jnp.float32),  # mstage

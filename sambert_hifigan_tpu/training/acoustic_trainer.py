@@ -24,6 +24,17 @@ from ..parallel.mesh import batch_sharding, replicated_sharding
 from .train_state import AcousticTrainState
 
 
+def cast_floats(tree, dtype):
+    """Cast every floating leaf of a pytree (bf16 compute <-> f32 loss
+    boundary for mixed-precision training); non-float leaves pass through."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 def make_acoustic_optimizer(cfg: TTSConfig) -> optax.GradientTransformation:
     tr = cfg.training.acoustic
     chain = []
@@ -64,6 +75,7 @@ def acoustic_train_step(
     opt: optax.GradientTransformation,
     weights: LossWeights = LossWeights(),
     scheduled_sampling: float = 0.0,
+    mixed_precision: bool = False,
 ) -> Tuple[AcousticTrainState, Dict[str, jnp.ndarray]]:
     """batch keys: ph_ids, tone_ids, boundary_ids [B, Tph] int32;
     dur_gt [B, Tph] int32; mel_gt [B, maxF, n_mels]; pitch_gt, energy_gt
@@ -77,8 +89,15 @@ def acoustic_train_step(
     unchanged - only the decoder's conditioning mixes in its own outputs,
     which narrows the train/inference mismatch of free-running AR decoding
     (exposure bias).  The reference has no trainer, so pure teacher forcing
-    (p = 0) remains the default recipe."""
+    (p = 0) remains the default recipe.
+
+    mixed_precision=True runs the model forward/backward in bfloat16 (master
+    params stay f32 — layers cast weights at use); outputs are cast back to
+    f32 so every loss reduction, the optimizer, and the update are full
+    precision.  bf16 shares f32's exponent range, so no loss scaling."""
     rng, ss_rng = jax.random.split(rng)
+    if mixed_precision:
+        model = model.clone(dtype=jnp.bfloat16)
 
     def forward(params, teacher_mel, dropout_rng):
         return model.apply(
@@ -107,6 +126,8 @@ def acoustic_train_step(
                 keep_own, jax.lax.stop_gradient(pass1.mel_pred), teacher_mel
             )
         out = forward(params, teacher_mel, rng)
+        if mixed_precision:
+            out = cast_floats(out, jnp.float32)
         total, metrics = acoustic_loss(
             out.mel_pred,
             batch["mel_gt"],
@@ -140,6 +161,7 @@ def make_jitted_acoustic_step(
     step = functools.partial(
         acoustic_train_step, model=model, opt=opt, weights=cfg.loss_weights,
         scheduled_sampling=cfg.training.acoustic.scheduled_sampling,
+        mixed_precision=cfg.training.acoustic.mixed_precision,
     )
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))

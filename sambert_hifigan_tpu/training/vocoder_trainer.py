@@ -42,6 +42,7 @@ from ..losses.vocoder import (
 )
 from ..models.hifigan import HiFiGAN
 from ..parallel.mesh import batch_sharding, replicated_sharding
+from .acoustic_trainer import cast_floats
 from .train_state import VocoderTrainState
 
 
@@ -94,9 +95,17 @@ def vocoder_train_step(
     audio: AudioConfig,
     loss_mode: str,
     weights: LossWeights = LossWeights(),
+    mixed_precision: bool = False,
+    d_update_every: int = 1,
 ) -> Tuple[VocoderTrainState, Dict[str, jnp.ndarray]]:
     metrics: Dict[str, jnp.ndarray] = {}
     train_d = should_train_discriminator(loss_mode)
+    if mixed_precision:
+        # bf16 G/D compute (master params stay f32; layers cast weights at
+        # use).  Waveforms and feature maps are cast back to f32 at the loss
+        # boundary below, so every loss reduction and both optimizers run
+        # full precision.  bf16 shares f32's exponent range — no loss scale.
+        model = model.clone(dtype=jnp.bfloat16)
 
     # ---- D step (reference: demo_ablation_modes.py:175-186) ----
     d_params, d_opt_state = state.d_params, state.d_opt_state
@@ -106,7 +115,9 @@ def vocoder_train_step(
         def d_loss_fn(dp):
             (
                 msd_ro, _, msd_fo, _, mpd_ro, _, mpd_fo, _,
-            ) = _discriminate(model, dp, wav_real, wav_fake)
+            ) = cast_floats(
+                _discriminate(model, dp, wav_real, wav_fake), jnp.float32
+            )
             loss, d_metrics = vocoder_discriminator_loss(
                 list(msd_ro) + list(mpd_ro), list(msd_fo) + list(mpd_fo)
             )
@@ -115,8 +126,19 @@ def vocoder_train_step(
         (d_loss, d_metrics), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             d_params
         )
-        d_updates, d_opt_state = d_opt.update(d_grads, d_opt_state, d_params)
-        d_params = optax.apply_updates(d_params, d_updates)
+        d_updates, d_opt_state_new = d_opt.update(d_grads, d_opt_state, d_params)
+        d_params_new = optax.apply_updates(d_params, d_updates)
+        if d_update_every > 1:
+            # gate the D update on the step counter (one jitted program;
+            # grads are computed regardless so metrics stay comparable)
+            apply = (state.step % d_update_every) == 0
+            pick = lambda new, old: jax.tree.map(  # noqa: E731
+                lambda a, b: jnp.where(apply, a, b), new, old
+            )
+            d_params = pick(d_params_new, d_params)
+            d_opt_state = pick(d_opt_state_new, d_opt_state)
+        else:
+            d_params, d_opt_state = d_params_new, d_opt_state_new
         metrics.update(d_metrics)
         metrics["d_grad_norm"] = optax.global_norm(d_grads)
     else:
@@ -124,12 +146,14 @@ def vocoder_train_step(
 
     # ---- G step against the updated D (reference: demo_ablation_modes.py:194-210) ----
     def g_loss_fn(gp):
-        wav_fake = _generate(model, gp, mel)
+        wav_fake = _generate(model, gp, mel).astype(jnp.float32)
         kwargs = {}
         if train_d:
             (
                 _, msd_rf, msd_fo, msd_ff, _, mpd_rf, mpd_fo, mpd_ff,
-            ) = _discriminate(model, d_params, wav_real, wav_fake)
+            ) = cast_floats(
+                _discriminate(model, d_params, wav_real, wav_fake), jnp.float32
+            )
             kwargs["disc_fake_outputs"] = list(msd_fo) + list(mpd_fo)
             if loss_mode == "adv_mel_fm":
                 kwargs["real_feature_maps"] = list(msd_rf) + list(mpd_rf)
@@ -176,6 +200,8 @@ def make_jitted_vocoder_step(
         audio=cfg.audio,
         loss_mode=loss_mode or cfg.vocoder.loss_mode,
         weights=cfg.loss_weights,
+        mixed_precision=cfg.training.vocoder.mixed_precision,
+        d_update_every=cfg.training.vocoder.d_update_every,
     )
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))

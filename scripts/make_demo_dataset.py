@@ -3,6 +3,15 @@
 
 Usage:
   python scripts/make_demo_dataset.py --output data/demo [--n 64] [--seed 0]
+  python scripts/make_demo_dataset.py --output data/demo_v2 --n 384 \
+      --speaker-var 1.0     # varied corpus for adversarial training
+
+--speaker-var > 0 adds per-utterance "speaker" variation (F0 scale,
+brightness, amplitude, noise floor) on top of the per-character acoustics.
+A 70M-param MSD+MPD stack memorizes 64 identical-speaker utterances in ~2k
+steps (observed in the r02 demo run) and stops providing useful gradients;
+per-utterance variation keeps real crops from repeating so the adversarial
+recipe can actually help.
 
 Every character's acoustic realization — duration, F0, timbre (harmonic vs
 fricative noise), and amplitude — is a pure function of the character, the
@@ -47,8 +56,29 @@ def char_params(c: str) -> dict:
     }
 
 
-def render_char(c: str) -> np.ndarray:
+def speaker_params(rng: np.random.Generator, amount: float) -> dict:
+    """Per-utterance 'speaker': smooth multiplicative deviations from the
+    per-character defaults, scaled by `amount` (0 = the legacy fixed voice)."""
+    return {
+        "f0_scale": 2.0 ** (amount * rng.uniform(-0.35, 0.35)),
+        "bright_scale": 1.0 + amount * rng.uniform(-0.35, 0.35),
+        "amp_scale": 1.0 + amount * rng.uniform(-0.25, 0.25),
+        "noise_floor": amount * rng.uniform(0.0, 0.02),
+    }
+
+
+_NO_SPEAKER = {"f0_scale": 1.0, "bright_scale": 1.0, "amp_scale": 1.0,
+               "noise_floor": 0.0}
+
+
+def render_char(c: str, spk: dict = _NO_SPEAKER) -> np.ndarray:
     p = char_params(c)
+    p = dict(
+        p,
+        f0=min(p["f0"] * spk["f0_scale"], 580.0),
+        bright=float(np.clip(p["bright"] * spk["bright_scale"], 0.15, 1.0)),
+        amp=float(np.clip(p["amp"] * spk["amp_scale"], 0.1, 0.95)),
+    )
     n = int(round(p["dur_s"] * SR))
     t = np.arange(n) / SR
     if p["voiced"]:
@@ -75,13 +105,20 @@ def render_char(c: str) -> np.ndarray:
     return (p["amp"] * env * x).astype(np.float32)
 
 
-def render_text(text: str) -> np.ndarray:
+def render_text(
+    text: str, spk: dict = _NO_SPEAKER, rng: np.random.Generator | None = None
+) -> np.ndarray:
     segs = []
     for i, c in enumerate(text):
-        segs.append(render_char(c))
+        segs.append(render_char(c, spk))
         if (i + 1) % 4 == 0 and i + 1 < len(text):
             segs.append(np.zeros(int(0.05 * SR), dtype=np.float32))  # pause
-    return np.concatenate(segs)
+    wav = np.concatenate(segs)
+    if spk["noise_floor"] > 0 and rng is not None:
+        wav = wav + spk["noise_floor"] * rng.standard_normal(len(wav)).astype(
+            np.float32
+        )
+    return wav.astype(np.float32)
 
 
 def main():
@@ -91,6 +128,8 @@ def main():
     ap.add_argument("--output", type=str, default="data/demo")
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--speaker-var", type=float, default=0.0,
+                    help="per-utterance voice variation amount (0 = off)")
     args = ap.parse_args()
 
     out = Path(args.output)
@@ -101,7 +140,8 @@ def main():
     for i in range(args.n):
         length = int(rng.integers(4, 11))
         text = "".join(rng.choice(list(ALPHABET), size=length))
-        wav = render_text(text)
+        spk = speaker_params(rng, args.speaker_var)
+        wav = render_text(text, spk, rng)
         rel = f"wavs/utt_{i:04d}.wav"
         save_wav(out / rel, wav, SR)
         lines.append(f"{rel}|{text}")

@@ -53,6 +53,10 @@ def parse_args():
     p.add_argument("--model-parallel", type=int, default=1,
                    help="size of the 'model' mesh axis (shape-rule tensor "
                         "parallelism; devices/model must divide evenly)")
+    p.add_argument("--d-lr", type=float, default=None,
+                   help="discriminator learning rate override (GAN hygiene)")
+    p.add_argument("--d-update-every", type=int, default=None,
+                   help="update D every k-th step (GAN hygiene; default 1)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="run N steps on synthetic data (smoke test)")
     p.add_argument("--seed", type=int, default=0)
@@ -89,6 +93,17 @@ def main():
         else default_config()
     )
     loss_mode = args.loss_mode or cfg.vocoder.loss_mode
+    if args.d_lr is not None or args.d_update_every is not None:
+        import dataclasses as _dc
+
+        voc_tr = cfg.training.vocoder
+        if args.d_lr is not None:
+            voc_tr = _dc.replace(voc_tr, learning_rate_discriminator=args.d_lr)
+        if args.d_update_every is not None:
+            voc_tr = _dc.replace(voc_tr, d_update_every=args.d_update_every)
+        cfg = _dc.replace(
+            cfg, training=_dc.replace(cfg.training, vocoder=voc_tr)
+        )
     batch_size = args.batch_size or cfg.training.vocoder.batch_size
     hop = cfg.audio.hop_length
 

@@ -21,6 +21,13 @@ if "xla_backend_optimization_level" not in flags:
     flags += " --xla_backend_optimization_level=0"
 if "xla_llvm_disable_expensive_passes" not in flags:
     flags += " --xla_llvm_disable_expensive_passes=true"
+# XLA:CPU's concurrency-optimized scheduler can deadlock the in-process
+# communicator when independent model-axis subgroup collectives become ready
+# in different orders on different virtual devices (see __graft_entry__.py).
+# Program-order scheduling keeps multi-device tests deterministic; TPU runs
+# never see this flag.
+if "xla_cpu_enable_concurrency_optimized_scheduler" not in flags:
+    flags += " --xla_cpu_enable_concurrency_optimized_scheduler=false"
 os.environ["XLA_FLAGS"] = flags.strip()
 
 # Repo root on sys.path so `import sambert_hifigan_tpu` works without install.

@@ -175,6 +175,47 @@ class TestARDecode:
         )
         np.testing.assert_allclose(out[1], solo[0], rtol=1e-3, atol=1e-3)
 
+    def test_pallas_kernel_wide_batch_matches_packed(self):
+        """B=9 crosses the single-sublane-tile boundary (row tile R=16):
+        the multi-row-tile kernel must still match the packed scan and keep
+        rows independent (B>8 used to fall back to the 5x-slower XLA scan)."""
+        from sambert_hifigan_tpu.models.ar_decoder import (
+            ar_decode_packed,
+            extract_decode_params,
+            precompute_memory_packed,
+        )
+        from sambert_hifigan_tpu.ops.pallas.decode_kernel import pallas_ar_decode
+
+        b = 9
+        cfg = DecoderConfig(n_layers=2, n_heads=4, d_ff=64, dropout=0.0, max_len=64)
+        model = PNCAARDecoder(D, MELS, cfg, dtype=jnp.bfloat16)
+        hvar = _rand(23, b, 10, D).astype(jnp.bfloat16)
+        params = model.init(
+            jax.random.PRNGKey(3), hvar, jnp.zeros((b, 10, MELS), jnp.bfloat16)
+        )
+        mask = jnp.zeros((b, 10), bool).at[2, 7:].set(True).at[8, 4:].set(True)
+        ref = np.asarray(
+            ar_decode_packed(model, params, hvar, 10, mask), np.float32
+        )
+        dp = extract_decode_params(model, params)
+        mk, mv = precompute_memory_packed(model, params, hvar)
+        out = np.asarray(
+            pallas_ar_decode(
+                dp, mk, mv, 10, mask, n_heads=4, n_mels=MELS, interpret=True
+            )
+        )
+        assert out.shape == ref.shape == (b, 10, MELS)
+        assert np.abs(out - ref).mean() < 0.05
+        assert np.isfinite(out).all()
+        # last row (the one living in the second sublane tile) == solo run
+        solo = np.asarray(
+            pallas_ar_decode(
+                dp, mk[:, 8:9], mv[:, 8:9], 10, mask[8:9],
+                n_heads=4, n_mels=MELS, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(out[8], solo[0], rtol=1e-3, atol=1e-3)
+
     def test_int8_kernel_quality(self):
         """Opt-in int8 decode: quantization noise must stay comparable to the
         bf16 path's noise relative to f32 ground truth."""

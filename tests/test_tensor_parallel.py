@@ -59,8 +59,17 @@ TINY_VOC = VocoderConfig(
 
 
 def _cfg():
+    # f32 train steps: these tests assert partitioning does not change the
+    # MATH, so the bf16 default's cross-shard reassociation noise is excluded
+    # (mixed precision has its own coverage in test_mixed_precision.py).
+    base = TTSConfig()
+    training = dataclasses.replace(
+        base.training,
+        acoustic=dataclasses.replace(base.training.acoustic, mixed_precision=False),
+        vocoder=dataclasses.replace(base.training.vocoder, mixed_precision=False),
+    )
     return dataclasses.replace(
-        TTSConfig(), acoustic_model=TINY_ACOUSTIC, vocoder=TINY_VOC
+        base, acoustic_model=TINY_ACOUSTIC, vocoder=TINY_VOC, training=training
     )
 
 
@@ -137,10 +146,10 @@ def test_acoustic_tp_matches_single_device():
     )
 
 
-@pytest.mark.slow
 def test_vocoder_tp_matches_single_device():
     """TP GAN step reproduces the single-device metrics for TWO consecutive
-    steps.  (Updated params are NOT compared leaf-wise: Adam's step-1 update
+    steps.  In the DEFAULT suite (not slow): this is the regression gate for
+    the r02 model-parallel vocoder deadlock.  (Updated params are NOT compared leaf-wise: Adam's step-1 update
     is lr * g / (|g| + eps), so a near-zero gradient's fp-reassociation noise
     flips the update's sign — step-2 metrics computed FROM the updated params
     are the robust equivalence signal.)"""

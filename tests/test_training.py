@@ -226,6 +226,39 @@ class TestAcousticTrainStep:
         assert float(m_ss["mel_loss"]) != float(m_tf["mel_loss"])
 
 
+class TestDUpdateRatio:
+    def test_d_update_every_gates_discriminator(self):
+        """d_update_every=2: D updates on even step counters (0, 2, ...) and
+        holds on odd ones; G updates every step regardless."""
+        import functools
+
+        from sambert_hifigan_tpu.training.vocoder_trainer import (
+            make_vocoder_optimizers,
+            vocoder_train_step,
+        )
+
+        cfg, model, state, _ = _voc_setup("adv_mel_fm")
+        g_opt, d_opt = make_vocoder_optimizers(cfg)
+        step = jax.jit(functools.partial(
+            vocoder_train_step,
+            model=model, g_opt=g_opt, d_opt=d_opt, audio=cfg.audio,
+            loss_mode="adv_mel_fm", weights=cfg.loss_weights,
+            mixed_precision=cfg.training.vocoder.mixed_precision,
+            d_update_every=2,
+        ))
+        mel, wav = _gan_batch()
+        d0 = jax.device_get(state.d_params)
+        state, _ = step(state, mel, wav)  # counter 0 -> D updates
+        d1 = jax.device_get(state.d_params)
+        assert not _leaves_equal(d0, d1)
+        g1 = jax.device_get(state.g_params)
+        state, _ = step(state, mel, wav)  # counter 1 -> D holds
+        assert _leaves_equal(d1, state.d_params)
+        assert not _leaves_equal(g1, state.g_params)
+        state, _ = step(state, mel, wav)  # counter 2 -> D updates again
+        assert not _leaves_equal(d1, state.d_params)
+
+
 class TestRemat:
     @pytest.mark.slow
     def test_remat_is_math_identical(self):
@@ -266,10 +299,10 @@ class TestRemat:
 
 
 class TestDataParallel:
-    @pytest.mark.slow
     def test_vocoder_step_on_8_device_mesh(self):
-        """Second mesh data point (the acoustic DP test below is the default
-        gate): the GAN step with both optimizers runs sharded over data=8."""
+        """The GAN step with both optimizers runs sharded over data=8 — in the
+        DEFAULT suite so `pytest tests/ -q` always exercises a multi-device
+        vocoder step (the r02 deadlock shipped invisibly behind a slow mark)."""
         mesh = create_mesh(data=8, model=1)
         cfg, model, state, _ = _voc_setup("adv_mel_fm")
         state = replicate(state, mesh)
