@@ -37,6 +37,12 @@ class SAMBERTAcousticModel(nn.Module):
     config: AcousticModelConfig = AcousticModelConfig()
     dtype: jnp.dtype = jnp.float32
 
+    def get_config(self) -> dict:
+        """Introspection parity (reference: models/acoustic_model.py:299-311)."""
+        import dataclasses
+
+        return dataclasses.asdict(self.config)
+
     def setup(self):
         c = self.config
         self.phoneme_embedding = PhonemeEmbedding(

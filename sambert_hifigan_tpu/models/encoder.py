@@ -22,6 +22,12 @@ class BERTEncoder(nn.Module):
     config: EncoderConfig = EncoderConfig()
     dtype: jnp.dtype = jnp.float32
 
+    def get_config(self) -> dict:
+        """Introspection parity (reference: models/bert_encoder.py:106-118)."""
+        import dataclasses
+
+        return {"d_model": self.d_model, **dataclasses.asdict(self.config)}
+
     @nn.compact
     def __call__(
         self,

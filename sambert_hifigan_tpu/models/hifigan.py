@@ -329,6 +329,12 @@ class HiFiGAN(nn.Module):
     config: VocoderConfig = VocoderConfig()
     dtype: jnp.dtype = jnp.float32
 
+    def get_config(self) -> dict:
+        """Introspection parity (reference: models/hifigan.py get_config)."""
+        import dataclasses
+
+        return dataclasses.asdict(self.config)
+
     def setup(self):
         self.generator = HiFiGANGenerator(self.config.generator, dtype=self.dtype)
         self.msd = MultiScaleDiscriminator(

@@ -216,3 +216,54 @@ class LayerNorm(nn.Module):
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         y = y * scale + bias
         return y.astype(self.dtype)
+
+
+def remove_weight_norm(params):
+    """Fold every weight-norm parametrization in a params pytree into its
+    effective kernel (the runtime analog of the reference's
+    `remove_weight_norm`, /root/reference/models/hifigan.py:263-271).
+
+    Each `kernel_wn = {"g", "v"}` leaf pair becomes v' = g * v / ||v||
+    (the effective kernel) with g' = ||v'||, so `weight_norm_kernel(g', v')
+    == v'` exactly: the parametrization collapses to identity and v' IS the
+    plain conv kernel.  Structure is preserved — the module applies unchanged
+    and checkpoints stay load-compatible."""
+
+    def fold(node):
+        if (
+            isinstance(node, dict)
+            and set(node.keys()) == {"g", "v"}
+        ):
+            w = conv_ops.weight_norm_kernel(node["g"], node["v"])
+            axes = tuple(range(w.ndim - 1))
+            g = jnp.sqrt(jnp.sum(jnp.square(w), axis=axes))
+            return {"g": g, "v": w}
+        if isinstance(node, dict):
+            return {k: fold(v) for k, v in node.items()}
+        return node
+
+    return jax.tree.map(
+        fold, params, is_leaf=lambda n: isinstance(n, dict) and set(n) == {"g", "v"}
+    )
+
+
+def apply_weight_norm(params):
+    """Re-split every folded kernel into a fresh (g, v) weight-norm pair
+    (the reference's `apply_weight_norm`,
+    /root/reference/models/hifigan.py:273-283): g = ||v||, v unchanged —
+    the effective kernel is identical, but g and v's direction become
+    independent trainable quantities again."""
+
+    def split(node):
+        if isinstance(node, dict) and set(node.keys()) == {"g", "v"}:
+            v = node["v"]
+            axes = tuple(range(v.ndim - 1))
+            g = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes))
+            return {"g": g, "v": v}
+        if isinstance(node, dict):
+            return {k: split(v) for k, v in node.items()}
+        return node
+
+    return jax.tree.map(
+        split, params, is_leaf=lambda n: isinstance(n, dict) and set(n) == {"g", "v"}
+    )

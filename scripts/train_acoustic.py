@@ -49,6 +49,8 @@ def parse_args():
                         "parallelism; devices/model must divide evenly)")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="mirror scalars into TensorBoard event files")
     p.add_argument("--scheduled-sampling", type=float, default=None,
                    help="per-frame probability of feeding the decoder its own "
                         "pass-1 prediction instead of ground truth (two-pass "
@@ -127,7 +129,9 @@ def main():
         batches = epochs()
         total_steps = args.steps
 
-    writer = MetricsWriter(args.log_dir or cfg.paths.log_dir, "acoustic")
+    writer = MetricsWriter(
+        args.log_dir or cfg.paths.log_dir, "acoustic", tensorboard=args.tensorboard
+    )
     rng = jax.random.PRNGKey(args.seed + 1)
     log_interval = cfg.training.acoustic.log_interval
     save_interval = cfg.training.acoustic.save_interval

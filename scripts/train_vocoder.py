@@ -60,6 +60,8 @@ def parse_args():
     p.add_argument("--synthetic", type=int, default=0,
                    help="run N steps on synthetic data (smoke test)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="mirror scalars into TensorBoard event files")
     return p.parse_args()
 
 
@@ -147,7 +149,9 @@ def main():
         batches = epochs()
         total_steps = args.steps
 
-    writer = MetricsWriter(args.log_dir or cfg.paths.log_dir, "vocoder")
+    writer = MetricsWriter(
+        args.log_dir or cfg.paths.log_dir, "vocoder", tensorboard=args.tensorboard
+    )
     log_interval = cfg.training.vocoder.log_interval
     save_interval = cfg.training.vocoder.save_interval
     for i in range(start_step, total_steps):

@@ -318,17 +318,35 @@ class TestDataParallel:
         """Data-parallel training with replicated params must produce the same
         metrics as single-device on the same global batch (XLA all-reduce ==
         serial sum, up to fp reassociation).  Also the mesh-execution smoke
-        test: the step runs sharded over data=8."""
-        _, model, state1, step1 = _ac_setup()
+        test: the step runs sharded over data=8.
+
+        f32 (not the bf16 default): this asserts partitioning does not change
+        the MATH, and bf16's batch-8-vs-1-per-device reassociation noise
+        exceeds the tight tolerances that make the check meaningful (the
+        bf16 path's own coverage is test_mixed_precision.py)."""
         cfg = _cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            training=dataclasses.replace(
+                cfg.training,
+                acoustic=dataclasses.replace(
+                    cfg.training.acoustic, mixed_precision=False
+                ),
+            ),
+        )
+        model = SAMBERTAcousticModel(cfg.acoustic_model)
+        state1 = init_acoustic_state(
+            model, cfg, jax.random.PRNGKey(0), tph=6, max_frames=16
+        )
+        snap = jax.device_get(state1)
+        step1 = make_jitted_acoustic_step(model, cfg)
         batch = TestAcousticTrainStep._batch(b=8)
         rngk = jax.random.PRNGKey(5)
 
         _, m1 = step1(state1, batch, rngk)
 
         mesh = create_mesh(data=8, model=1)
-        _, _, state8, _ = _ac_setup()
-        state8 = replicate(state8, mesh)
+        state8 = replicate(jax.tree.map(jnp.asarray, snap), mesh)
         step8 = make_jitted_acoustic_step(model, cfg, mesh=mesh)
         state8, m8 = step8(state8, shard_batch(batch, mesh), rngk)
         assert int(state8.step) == 1
