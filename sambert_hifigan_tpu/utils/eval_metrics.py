@@ -15,6 +15,7 @@ import numpy as np
 
 from ..config import AudioConfig
 from ..ops.mel import log_mel_spectrogram
+from ..ops.stft import stft_magnitude
 
 
 def mel_mae(
@@ -131,3 +132,67 @@ def mel_mae_dtw(
         else:
             i -= 1
     return float(path_cost / steps)
+
+
+def stft_logmag_mae(
+    wav_a: np.ndarray,
+    wav_b: np.ndarray,
+    fft_sizes: Tuple[int, ...] = (512, 1024, 2048),
+    sample_rate_hops: int = 4,
+) -> float:
+    """Multi-resolution STFT log-magnitude MAE between two waveforms [T].
+
+    Finer frequency resolution than the 80-bin mel (2048-point FFT resolves
+    individual harmonics up to high F0), so it penalizes the harmonic
+    oversmoothing that a mel-domain metric can't see.  This is the eval-side
+    counterpart of the multi-resolution STFT *training* loss
+    (losses/vocoder.py; reference: models/losses.py:800-860) at the same
+    resolutions, making it the standard phase-blind sharpness metric for
+    vocoder ablations.  Trims to the shorter waveform.
+    """
+    n = min(wav_a.shape[-1], wav_b.shape[-1])
+    a = jnp.asarray(wav_a[..., :n], jnp.float32)
+    b = jnp.asarray(wav_b[..., :n], jnp.float32)
+    vals = []
+    for n_fft in fft_sizes:
+        hop = n_fft // sample_rate_hops
+        ma = jnp.log(stft_magnitude(a, n_fft, hop, n_fft) + 1e-5)
+        mb = jnp.log(stft_magnitude(b, n_fft, hop, n_fft) + 1e-5)
+        vals.append(float(jnp.mean(jnp.abs(ma - mb))))
+    return float(np.mean(vals))
+
+
+def f0_metrics(
+    wav_ref: np.ndarray,
+    wav_syn: np.ndarray,
+    audio: Optional[AudioConfig] = None,
+) -> dict:
+    """Periodicity-sensitive vocoder metrics (the dimension adversarial
+    training targets: waveform phase coherence across frames, which the
+    frame-local mel/STFT magnitudes cannot measure).
+
+    Returns:
+      f0_rmse_hz  — RMSE of autocorrelation F0 over frames voiced in BOTH
+      voicing_f1  — F1 of the synthetic voicing decision vs the reference's
+
+    Uses the same `extract_f0` as training-feature extraction
+    (data/features.py:50), band [80, 600] Hz.
+    """
+    from ..data.features import extract_f0
+
+    audio = audio or AudioConfig()
+    n = min(wav_ref.shape[-1], wav_syn.shape[-1])
+    f0_r, v_r = extract_f0(jnp.asarray(wav_ref[..., :n], jnp.float32), audio)
+    f0_s, v_s = extract_f0(jnp.asarray(wav_syn[..., :n], jnp.float32), audio)
+    f0_r, v_r = np.asarray(f0_r), np.asarray(v_r)
+    f0_s, v_s = np.asarray(f0_s), np.asarray(v_s)
+    both = v_r & v_s
+    if both.any():
+        rmse = float(np.sqrt(np.mean((f0_r[both] - f0_s[both]) ** 2)))
+    else:
+        rmse = float("nan")
+    tp = float((v_r & v_s).sum())
+    prec = tp / max(float(v_s.sum()), 1.0)
+    rec = tp / max(float(v_r.sum()), 1.0)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    return {"f0_rmse_hz": rmse, "voicing_f1": float(f1)}

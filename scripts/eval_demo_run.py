@@ -58,6 +58,10 @@ def main():
     p.add_argument("--metadata", type=str, default="data/demo/metadata.csv")
     p.add_argument("--acoustic-checkpoint", type=str, required=True)
     p.add_argument("--vocoder-checkpoint", type=str, required=True)
+    p.add_argument("--acoustic-step", type=int, default=None,
+                   help="checkpoint step to restore (default: latest)")
+    p.add_argument("--vocoder-step", type=int, default=None,
+                   help="checkpoint step to restore (default: latest)")
     p.add_argument("--n", type=int, default=4)
     p.add_argument("--output-dir", type=str, default="/tmp/demo_eval")
     args = p.parse_args()
@@ -70,9 +74,13 @@ def main():
     ac_state = init_acoustic_state(
         SAMBERTAcousticModel(cfg.acoustic_model), cfg, jax.random.PRNGKey(0)
     )
-    ac_state, ac_step = CheckpointManager(args.acoustic_checkpoint, cfg.audio).restore(ac_state)
+    ac_state, ac_step = CheckpointManager(args.acoustic_checkpoint, cfg.audio).restore(
+        ac_state, step=args.acoustic_step
+    )
     voc_state = init_vocoder_state(HiFiGAN(cfg.vocoder), cfg, jax.random.PRNGKey(0))
-    voc_state, voc_step = CheckpointManager(args.vocoder_checkpoint, cfg.audio).restore(voc_state)
+    voc_state, voc_step = CheckpointManager(args.vocoder_checkpoint, cfg.audio).restore(
+        voc_state, step=args.vocoder_step
+    )
     print(f"checkpoints: acoustic step {ac_step}, vocoder step {voc_step}")
     gen_params = {"params": voc_state.g_params["params"]["generator"]}
     pipe = TTSPipeline(cfg, ac_state.params, gen_params)

@@ -107,3 +107,65 @@ class TestMelMaeDtw:
         # brute-force minimal mean over the two extreme path lengths
         lo, hi = max(ta, tb), ta + tb - 1
         assert acc[ta, tb] / hi - 1e-6 <= got <= acc[ta, tb] / lo + 1e-6
+
+
+class TestStftLogmagMae:
+    def test_identity_is_zero(self):
+        from sambert_hifigan_tpu.utils.eval_metrics import stft_logmag_mae
+
+        wav = _tone(220.0, seed=0)
+        assert stft_logmag_mae(wav, wav) == 0.0
+
+    def test_sees_harmonic_smoothing_mel_cannot(self):
+        """A waveform whose upper harmonics are attenuated (the oversmoothing
+        failure mode of L1-only vocoders) must move the fine-STFT metric
+        proportionally MORE than the 80-bin mel metric (adjacent harmonics of
+        a low F0 share mel bins but occupy distinct FFT bins)."""
+        from sambert_hifigan_tpu.utils.eval_metrics import (
+            mel_mae,
+            stft_logmag_mae,
+        )
+
+        n = 11025
+        t = np.arange(n) / AUDIO.sample_rate
+        full = sum(
+            (0.5 / k) * np.sin(2 * np.pi * 110.0 * k * t) for k in range(1, 30)
+        ).astype(np.float32)
+        smooth = sum(
+            (0.5 / k) * (1.0 if k <= 5 else 0.3) * np.sin(2 * np.pi * 110.0 * k * t)
+            for k in range(1, 30)
+        ).astype(np.float32)
+        rel_stft = stft_logmag_mae(full, smooth) / (stft_logmag_mae(full, 0 * full) + 1e-9)
+        rel_mel = mel_mae(full, smooth, AUDIO) / (mel_mae(full, 0 * full, AUDIO) + 1e-9)
+        assert stft_logmag_mae(full, smooth) > 0.0
+        assert rel_stft > rel_mel
+
+
+class TestF0Metrics:
+    def test_identity_perfect(self):
+        from sambert_hifigan_tpu.utils.eval_metrics import f0_metrics
+
+        wav = _tone(220.0, n=AUDIO.sample_rate, amp=0.5)
+        m = f0_metrics(wav, wav, AUDIO)
+        assert m["f0_rmse_hz"] == 0.0
+        assert m["voicing_f1"] == pytest.approx(1.0)
+
+    def test_detuned_tone_measured(self):
+        """230 Hz vs 220 Hz pure tones: F0-RMSE should land near 10 Hz."""
+        from sambert_hifigan_tpu.utils.eval_metrics import f0_metrics
+
+        a = _tone(220.0, n=AUDIO.sample_rate, amp=0.5)
+        b = _tone(230.0, n=AUDIO.sample_rate, amp=0.5)
+        m = f0_metrics(a, b, AUDIO)
+        assert 5.0 < m["f0_rmse_hz"] < 15.0
+
+    def test_voicing_f1_drops_for_noise(self):
+        """Unvoiced (noise) against a voiced tone: F1 well below identity."""
+        from sambert_hifigan_tpu.utils.eval_metrics import f0_metrics
+
+        tone = _tone(220.0, n=AUDIO.sample_rate, amp=0.5)
+        noise = (
+            0.5 * np.random.default_rng(0).standard_normal(AUDIO.sample_rate)
+        ).astype(np.float32)
+        m = f0_metrics(tone, noise, AUDIO)
+        assert m["voicing_f1"] < 0.7
