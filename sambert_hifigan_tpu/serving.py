@@ -1,0 +1,178 @@
+"""Dynamic-batching TTS serving.
+
+The reference ships only a single-text `inference.py` CLI (reference:
+docs/README: doc index; no server exists) — this module supplies the
+production serving layer a deployment actually needs, designed around how
+the TPU wants to be fed:
+
+* **One compiled program, many requests.**  `TTSPipeline.synthesize_batch`
+  pads every request in a batch to a shared (tph, max_frames) bucket, so a
+  batch of B requests costs ~1.2-1.8x ONE request's latency instead of Bx
+  (bench.py: B=4 text->mel is 1.68x the B=1 latency; the Pallas decode
+  kernel rides a single [R<=32, 256] row tile for the whole batch).
+* **Micro-batching window.**  Requests arriving within `max_wait_ms` of
+  each other are fused into one device program.  Under load the batcher
+  runs back-to-back full batches (the wait only applies when the queue is
+  drained); at idle a lone request pays at most `max_wait_ms` extra.
+* **Grouping by prosody controls.**  A batch shares one compiled program
+  AND one set of (duration_scale, pitch_shift, energy_scale) control
+  values; requests with different controls land in different batches
+  (per-request control vectors would force scalar->vector retraces of the
+  jitted acoustic program for a niche case).
+
+Threading model: callers submit from any thread and block on a per-request
+event; ONE worker thread talks to the device (JAX dispatch is not
+thread-safe for interleaved donated buffers, and a single feeder matches
+the single-stream TPU execution model anyway).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class _Request:
+    text: str
+    controls: Tuple[Tuple[str, float], ...]
+    done: threading.Event = field(default_factory=threading.Event)
+    wav: Optional[np.ndarray] = None
+    error: Optional[BaseException] = None
+
+
+class DynamicBatcher:
+    """Fuses concurrent synthesis requests into device-sized batches.
+
+    `pipeline` needs one method: `synthesize_batch(texts, **controls) ->
+    List[np.ndarray]` (TTSPipeline provides it; tests inject stubs).
+    """
+
+    def __init__(
+        self,
+        pipeline,
+        max_batch: int = 16,
+        max_wait_ms: float = 20.0,
+    ):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self.batches_run = 0
+        self.requests_served = 0
+        self._worker = threading.Thread(
+            target=self._run, name="tts-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # ---- client side ---------------------------------------------------------
+
+    def synthesize(
+        self,
+        text: str,
+        duration_scale: float = 1.0,
+        pitch_shift: float = 0.0,
+        energy_scale: float = 1.0,
+        timeout: Optional[float] = None,
+    ) -> np.ndarray:
+        """Blocking submit; safe from any thread.  Raises whatever the
+        pipeline raised for this request's batch."""
+        req = _Request(
+            text=text,
+            controls=(
+                ("duration_scale", float(duration_scale)),
+                ("pitch_shift", float(pitch_shift)),
+                ("energy_scale", float(energy_scale)),
+            ),
+        )
+        self._queue.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError(f"TTS request timed out after {timeout}s")
+        if req.error is not None:
+            raise req.error
+        assert req.wav is not None
+        return req.wav
+
+    def close(self):
+        """Drain and stop the worker (pending requests still complete)."""
+        self._queue.put(None)
+        self._worker.join()
+
+    # ---- worker side ---------------------------------------------------------
+
+    def _take_batch(self) -> Optional[List[_Request]]:
+        """Block for the first request, then fill the batch with whatever
+        arrives within the wait window.  Only same-controls requests fuse;
+        the first differing one is pushed back for the next batch."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = _now() + self.max_wait_s
+        leftover: Optional[_Request] = None
+        while len(batch) < self.max_batch:
+            remaining = deadline - _now()
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req is None:  # close() while filling: finish, then stop
+                self._queue.put(None)
+                break
+            if req.controls != first.controls:
+                leftover = req
+                break
+            batch.append(req)
+        if leftover is not None:
+            self._queue.put(leftover)
+        return batch
+
+    def _run(self):
+        while True:
+            batch = self._take_batch()
+            if batch is None:
+                return
+            try:
+                wavs = self.pipeline.synthesize_batch(
+                    [r.text for r in batch], **dict(batch[0].controls)
+                )
+                for r, w in zip(batch, wavs):
+                    r.wav = w
+            except BaseException as e:  # noqa: BLE001 — routed to callers
+                for r in batch:
+                    r.error = e
+            with self._stats_lock:
+                self.batches_run += 1
+                self.requests_served += len(batch)
+            for r in batch:
+                r.done.set()
+
+    # ---- observability -------------------------------------------------------
+
+    def stats(self) -> Dict[str, Any]:
+        with self._stats_lock:
+            return {
+                "batches_run": self.batches_run,
+                "requests_served": self.requests_served,
+                "mean_batch_size": (
+                    self.requests_served / self.batches_run
+                    if self.batches_run
+                    else 0.0
+                ),
+                "queue_depth": self._queue.qsize(),
+            }
+
+
+def _now() -> float:
+    import time
+
+    return time.monotonic()

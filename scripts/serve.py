@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""TTS HTTP server with dynamic micro-batching.
+
+Usage:
+  python scripts/serve.py --acoustic-checkpoint checkpoints/acoustic_v2 \
+      --vocoder-checkpoint checkpoints/vocoder_v2_adv \
+      [--port 8000] [--max-batch 16] [--max-wait-ms 20]
+
+Endpoints:
+  POST /tts      {"text": "...", "duration_scale": 1.0, "pitch_shift": 0.0,
+                  "energy_scale": 1.0}  ->  audio/wav bytes
+  GET  /healthz  ->  {"ok": true, ...batcher stats}
+
+Concurrent requests that arrive within the micro-batch window are fused
+into ONE device program via `serving.DynamicBatcher` (see that module for
+the TPU rationale).  The HTTP layer is a stdlib ThreadingHTTPServer — each
+connection thread blocks on its request's event while the single batcher
+thread feeds the chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+
+from sambert_hifigan_tpu.utils.jax_cache import enable as _enable_jax_cache
+
+_enable_jax_cache()
+
+import numpy as np
+
+
+def wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        pcm = np.clip(wav, -1.0, 1.0)
+        w.writeframes((pcm * 32767.0).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def make_handler(batcher, sample_rate: int, request_timeout: float):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet access log
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, **batcher.stats()})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/tts":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                text = req["text"]
+            except (ValueError, KeyError) as e:
+                self._json(400, {"error": f"bad request: {e!r}"})
+                return
+            try:
+                wav = batcher.synthesize(
+                    text,
+                    duration_scale=float(req.get("duration_scale", 1.0)),
+                    pitch_shift=float(req.get("pitch_shift", 0.0)),
+                    energy_scale=float(req.get("energy_scale", 1.0)),
+                    timeout=request_timeout,
+                )
+            except TimeoutError:
+                self._json(503, {"error": "request timed out in queue"})
+                return
+            except Exception as e:  # noqa: BLE001 — surface to the client
+                self._json(500, {"error": repr(e)})
+                return
+            body = wav_bytes(wav, sample_rate)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def main():
+    from sambert_hifigan_tpu.config import default_config
+    from sambert_hifigan_tpu.models.acoustic_model import SAMBERTAcousticModel
+    from sambert_hifigan_tpu.models.hifigan import HiFiGAN
+    from sambert_hifigan_tpu.pipeline import TTSPipeline
+    from sambert_hifigan_tpu.serving import DynamicBatcher
+    from sambert_hifigan_tpu.training.acoustic_trainer import init_acoustic_state
+    from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
+    from sambert_hifigan_tpu.training.vocoder_trainer import init_vocoder_state
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--acoustic-checkpoint", type=str, required=True)
+    p.add_argument("--vocoder-checkpoint", type=str, required=True)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--max-wait-ms", type=float, default=20.0)
+    p.add_argument("--request-timeout", type=float, default=120.0)
+    p.add_argument(
+        "--warmup", action="store_true",
+        help="compile the common buckets before accepting traffic",
+    )
+    args = p.parse_args()
+
+    cfg = default_config()
+    ac_state = init_acoustic_state(
+        SAMBERTAcousticModel(cfg.acoustic_model), cfg, jax.random.PRNGKey(0)
+    )
+    ac_state, _ = CheckpointManager(args.acoustic_checkpoint, cfg.audio).restore(ac_state)
+    voc_state = init_vocoder_state(HiFiGAN(cfg.vocoder), cfg, jax.random.PRNGKey(0))
+    voc_state, _ = CheckpointManager(args.vocoder_checkpoint, cfg.audio).restore(voc_state)
+    pipe = TTSPipeline(
+        cfg, ac_state.params, {"params": voc_state.g_params["params"]["generator"]}
+    )
+    if args.warmup:
+        print("warmup: compiling common buckets...")
+        pipe.synthesize_batch(["warmup"] * args.max_batch)
+        pipe.synthesize("warmup")
+    batcher = DynamicBatcher(
+        pipe, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+    )
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(batcher, cfg.audio.sample_rate, args.request_timeout),
+    )
+    print(f"serving on http://{args.host}:{args.port}  "
+          f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()
