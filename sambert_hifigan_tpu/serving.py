@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -173,6 +174,4 @@ class DynamicBatcher:
 
 
 def _now() -> float:
-    import time
-
     return time.monotonic()
