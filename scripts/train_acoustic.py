@@ -48,6 +48,8 @@ def parse_args():
                    help="size of the 'model' mesh axis (shape-rule tensor "
                         "parallelism; devices/model must divide evenly)")
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--no-prefetch", action="store_true",
+                   help="disable background batch prefetch (A/B baseline)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tensorboard", action="store_true",
                    help="mirror scalars into TensorBoard event files")
@@ -61,6 +63,7 @@ def parse_args():
 def main():
     from sambert_hifigan_tpu.config import load_config, default_config
     from sambert_hifigan_tpu.data.dataset import TTSDataset, synthetic_batch
+    from sambert_hifigan_tpu.data.prefetch import Prefetcher
     from sambert_hifigan_tpu.models.acoustic_model import SAMBERTAcousticModel
     from sambert_hifigan_tpu.parallel.mesh import create_mesh, replicate, shard_batch
     from sambert_hifigan_tpu.training.acoustic_trainer import (
@@ -135,10 +138,14 @@ def main():
     rng = jax.random.PRNGKey(args.seed + 1)
     log_interval = cfg.training.acoustic.log_interval
     save_interval = cfg.training.acoustic.save_interval
+    # Collate + host->device transfer on a background thread, overlapped with
+    # the device step (data/prefetch.py; the step itself dispatches async).
+    put = lambda b: shard_batch(  # noqa: E731
+        {k: jnp.asarray(v) for k, v in b.items() if k != "frame_lengths"}, mesh
+    )
+    batches = map(put, batches) if args.no_prefetch else Prefetcher(batches, transfer=put)
     for i in range(start_step, total_steps):
-        batch = {k: jnp.asarray(v) for k, v in next(batches).items()
-                 if k != "frame_lengths"}
-        batch = shard_batch(batch, mesh)
+        batch = next(batches)
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
         if (i + 1) % log_interval == 0 or i == start_step:
@@ -147,6 +154,8 @@ def main():
                                       ["total_loss", "mel_loss", "dur_loss"]))
         if (i + 1) % save_interval == 0:
             ckpt.save(i + 1, jax.device_get(state))
+    if isinstance(batches, Prefetcher):
+        batches.close()
     if ckpt.latest_step() != total_steps:  # interval save may already cover it
         ckpt.save(total_steps, jax.device_get(state))
     print(f"[train_acoustic] done at step {total_steps}; checkpoints in {ckpt_dir}")

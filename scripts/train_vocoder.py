@@ -59,6 +59,8 @@ def parse_args():
                    help="update D every k-th step (GAN hygiene; default 1)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="run N steps on synthetic data (smoke test)")
+    p.add_argument("--no-prefetch", action="store_true",
+                   help="disable background batch prefetch (A/B baseline)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tensorboard", action="store_true",
                    help="mirror scalars into TensorBoard event files")
@@ -79,6 +81,7 @@ def main():
         TTSDataset,
         vocoder_batches_from_dataset,
     )
+    from sambert_hifigan_tpu.data.prefetch import Prefetcher
     from sambert_hifigan_tpu.models.hifigan import HiFiGAN
     from sambert_hifigan_tpu.parallel.mesh import create_mesh, replicate, shard_batch
     from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
@@ -154,9 +157,12 @@ def main():
     )
     log_interval = cfg.training.vocoder.log_interval
     save_interval = cfg.training.vocoder.save_interval
+    # Collate + host->device transfer on a background thread, overlapped with
+    # the device step (data/prefetch.py; the step itself dispatches async).
+    put = lambda b: shard_batch((jnp.asarray(b[0]), jnp.asarray(b[1])), mesh)  # noqa: E731
+    batches = map(put, batches) if args.no_prefetch else Prefetcher(batches, transfer=put)
     for i in range(start_step, total_steps):
         mel, wav = next(batches)
-        mel, wav = shard_batch((jnp.asarray(mel), jnp.asarray(wav)), mesh)
         state, metrics = step_fn(state, mel, wav)
         if (i + 1) % log_interval == 0 or i == start_step:
             host = writer.write(i + 1, metrics)
@@ -164,6 +170,8 @@ def main():
                                       ["gen_loss", "gen_mel_loss", "disc_loss"]))
         if (i + 1) % save_interval == 0:
             ckpt.save(i + 1, jax.device_get(state))
+    if isinstance(batches, Prefetcher):
+        batches.close()
     if ckpt.latest_step() != total_steps:  # interval save may already cover it
         ckpt.save(total_steps, jax.device_get(state))
     print(f"[train_vocoder] done at step {total_steps}; checkpoints in {ckpt_dir}")
