@@ -3,16 +3,21 @@ transfer with device compute.
 
 The reference has no data layer at all (its loader is spec-only, reference:
 .kiro/specs/tts-sam-bert-hifigan/design.md:737-757), so it also has nothing
-to say about feeding a device.  On this framework's target hardware the need
-is real: the jitted train step runs free of the Python thread (async
-dispatch), but `next(batches)` — numpy collation, random crops, and the
-host->device transfer — runs *between* dispatches and serializes with the
-device.  Measured on the v5e demo runs: GAN device step 105 ms but 227 ms
-wall (4.4 steps/s), acoustic 36 ms device but 270 ms wall — the difference
-is exactly this host work.
+to say about feeding a device.  `Prefetcher` moves `next(batches)` — numpy
+collation, random crops, and the host->device transfer — onto one background
+thread with a bounded queue, so that work overlaps device compute even when
+the main thread blocks (e.g. on a metrics fetch).
 
-`Prefetcher` moves all of it onto one background thread with a bounded
-queue:
+Use it deliberately, not reflexively: JAX's async dispatch already lets the
+serial `for batch in batches: step(batch)` loop overlap host work with the
+in-flight device step, and on a SINGLE-core host a second thread only adds
+GIL/scheduler contention.  Controlled A/B on this image (1 core, v5e via
+tunnel, steps/s between logged steps 100->400 of 400-step runs): acoustic
+36.0 serial vs 28.5 prefetch (memoized features) and 18.7 vs 16.0
+(disk-only); vocoder GAN 9.14 vs 9.12 (device-bound either way).  Hence
+`want_prefetch('auto')` turns the thread on only when the host has >= 2
+cores — where the worker runs truly in parallel and the overlap is real
+(multi-core production hosts, heavier collate, networked storage).
 
     batches = Prefetcher(batches, transfer=lambda b: shard_batch(b, mesh))
     for step in range(n):
@@ -39,11 +44,31 @@ layer pipelines the per-step collate + transfer tail.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Any, Callable, Iterable, Iterator, Optional
 
 _DONE = object()
+
+
+def want_prefetch(mode: str) -> bool:
+    """Resolve a --prefetch {auto,on,off} flag.
+
+    'auto' enables the worker thread only on multi-core hosts.  Measured on
+    this image's 1-core host (v5e via tunnel, 400-step runs, steps/s between
+    logged steps 100->400): the serial loop BEAT the prefetch thread on every
+    surface — acoustic 36.0 vs 28.5 steps/s (memoized features), 18.7 vs 16.0
+    (disk-only), vocoder GAN 9.14 vs 9.12 (device-bound either way).  JAX's
+    async dispatch already overlaps the host's collate/transfer with device
+    compute; on one core a second thread only adds GIL/scheduler contention.
+    With >= 2 cores the worker gets its own core and the overlap is real.
+    """
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return (os.cpu_count() or 1) > 1
 
 
 class _Failure:

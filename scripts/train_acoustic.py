@@ -48,8 +48,14 @@ def parse_args():
                    help="size of the 'model' mesh axis (shape-rule tensor "
                         "parallelism; devices/model must divide evenly)")
     p.add_argument("--synthetic", type=int, default=0)
-    p.add_argument("--no-prefetch", action="store_true",
-                   help="disable background batch prefetch (A/B baseline)")
+    p.add_argument("--prefetch", choices=["auto", "on", "off"], default="auto",
+                   help="background batch prefetch thread; 'auto' (default) "
+                        "enables it only on multi-core hosts — measured on a "
+                        "1-core host the serial loop is FASTER (JAX async "
+                        "dispatch already overlaps host work; a second thread "
+                        "just contends for the core; docs/performance.md)")
+    p.add_argument("--no-prefetch", dest="prefetch", action="store_const",
+                   const="off", help="alias for --prefetch off")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tensorboard", action="store_true",
                    help="mirror scalars into TensorBoard event files")
@@ -63,7 +69,7 @@ def parse_args():
 def main():
     from sambert_hifigan_tpu.config import load_config, default_config
     from sambert_hifigan_tpu.data.dataset import TTSDataset, synthetic_batch
-    from sambert_hifigan_tpu.data.prefetch import Prefetcher
+    from sambert_hifigan_tpu.data.prefetch import Prefetcher, want_prefetch
     from sambert_hifigan_tpu.models.acoustic_model import SAMBERTAcousticModel
     from sambert_hifigan_tpu.parallel.mesh import create_mesh, replicate, shard_batch
     from sambert_hifigan_tpu.training.acoustic_trainer import (
@@ -138,12 +144,16 @@ def main():
     rng = jax.random.PRNGKey(args.seed + 1)
     log_interval = cfg.training.acoustic.log_interval
     save_interval = cfg.training.acoustic.save_interval
-    # Collate + host->device transfer on a background thread, overlapped with
-    # the device step (data/prefetch.py; the step itself dispatches async).
+    # Collate + host->device transfer, optionally on a background thread
+    # (data/prefetch.py:want_prefetch documents the 1-core measurement that
+    # makes the serial loop the default here; the step dispatches async).
     put = lambda b: shard_batch(  # noqa: E731
         {k: jnp.asarray(v) for k, v in b.items() if k != "frame_lengths"}, mesh
     )
-    batches = map(put, batches) if args.no_prefetch else Prefetcher(batches, transfer=put)
+    if want_prefetch(args.prefetch):
+        batches = Prefetcher(batches, transfer=put)
+    else:
+        batches = map(put, batches)
     for i in range(start_step, total_steps):
         batch = next(batches)
         rng, sub = jax.random.split(rng)

@@ -59,8 +59,12 @@ def parse_args():
                    help="update D every k-th step (GAN hygiene; default 1)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="run N steps on synthetic data (smoke test)")
-    p.add_argument("--no-prefetch", action="store_true",
-                   help="disable background batch prefetch (A/B baseline)")
+    p.add_argument("--prefetch", choices=["auto", "on", "off"], default="auto",
+                   help="background batch prefetch thread; 'auto' (default) "
+                        "enables it only on multi-core hosts (measured: the "
+                        "serial loop wins on 1 core; docs/performance.md)")
+    p.add_argument("--no-prefetch", dest="prefetch", action="store_const",
+                   const="off", help="alias for --prefetch off")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tensorboard", action="store_true",
                    help="mirror scalars into TensorBoard event files")
@@ -81,7 +85,7 @@ def main():
         TTSDataset,
         vocoder_batches_from_dataset,
     )
-    from sambert_hifigan_tpu.data.prefetch import Prefetcher
+    from sambert_hifigan_tpu.data.prefetch import Prefetcher, want_prefetch
     from sambert_hifigan_tpu.models.hifigan import HiFiGAN
     from sambert_hifigan_tpu.parallel.mesh import create_mesh, replicate, shard_batch
     from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
@@ -157,10 +161,14 @@ def main():
     )
     log_interval = cfg.training.vocoder.log_interval
     save_interval = cfg.training.vocoder.save_interval
-    # Collate + host->device transfer on a background thread, overlapped with
-    # the device step (data/prefetch.py; the step itself dispatches async).
+    # Collate + host->device transfer, optionally on a background thread
+    # (data/prefetch.py:want_prefetch documents the 1-core measurement that
+    # makes the serial loop the default here; the step dispatches async).
     put = lambda b: shard_batch((jnp.asarray(b[0]), jnp.asarray(b[1])), mesh)  # noqa: E731
-    batches = map(put, batches) if args.no_prefetch else Prefetcher(batches, transfer=put)
+    if want_prefetch(args.prefetch):
+        batches = Prefetcher(batches, transfer=put)
+    else:
+        batches = map(put, batches)
     for i in range(start_step, total_steps):
         mel, wav = next(batches)
         state, metrics = step_fn(state, mel, wav)

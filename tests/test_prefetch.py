@@ -11,7 +11,7 @@ import time
 
 import pytest
 
-from sambert_hifigan_tpu.data.prefetch import Prefetcher
+from sambert_hifigan_tpu.data.prefetch import Prefetcher, want_prefetch
 
 
 def test_order_and_exhaustion():
@@ -125,3 +125,18 @@ def test_context_manager():
     with Prefetcher(iter(range(4))) as p:
         assert next(p) == 0
     assert not p._worker.is_alive()
+
+
+def test_want_prefetch_policy(monkeypatch):
+    """'on'/'off' are absolute; 'auto' follows the core count (the measured
+    1-core contention result in the module docstring)."""
+    assert want_prefetch("on") is True
+    assert want_prefetch("off") is False
+    import sambert_hifigan_tpu.data.prefetch as pf
+
+    monkeypatch.setattr(pf.os, "cpu_count", lambda: 1)
+    assert want_prefetch("auto") is False
+    monkeypatch.setattr(pf.os, "cpu_count", lambda: 8)
+    assert want_prefetch("auto") is True
+    monkeypatch.setattr(pf.os, "cpu_count", lambda: None)
+    assert want_prefetch("auto") is False
