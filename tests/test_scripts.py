@@ -78,3 +78,17 @@ class TestEvaluate:
         assert r.returncode == 0, r.stderr[-2000:]
         mae = float(r.stdout.split("mel-MAE:")[1].split()[0])
         assert mae == pytest.approx(0.5, abs=1e-4)
+
+
+class TestProfile:
+    def test_captures_xplane_trace(self, tmp_path):
+        """scripts/profile.py writes a TensorBoard-profile xplane trace of a
+        warmed surface (the TPU-native replacement for the reference's
+        print-based shape logging, SURVEY 5.1)."""
+        out = tmp_path / "prof"
+        r = _run(["scripts/profile.py", "--surface", "vocoder",
+                  "--max-frames", "16", "--reps", "1",
+                  "--output", str(out)])
+        assert r.returncode == 0, r.stderr[-2000:]
+        traces = list(out.rglob("*.xplane.pb"))
+        assert traces and traces[0].stat().st_size > 0
