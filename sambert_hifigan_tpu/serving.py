@@ -20,10 +20,17 @@ the TPU wants to be fed:
   (per-request control vectors would force scalar->vector retraces of the
   jitted acoustic program for a niche case).
 
+* **Streaming.**  `synthesize_stream` exposes `TTSPipeline.stream`'s
+  chunked decode through the same worker: audio chunks flow to the caller
+  as the device produces them (first chunk after ~chunk_frames of decode
+  instead of the whole utterance).  Stream requests never fuse with batch
+  requests and run alone, serialized on the device feeder.
+
 Threading model: callers submit from any thread and block on a per-request
-event; ONE worker thread talks to the device (JAX dispatch is not
-thread-safe for interleaved donated buffers, and a single feeder matches
-the single-stream TPU execution model anyway).
+event (batch) or a per-request chunk queue (stream); ONE worker thread
+talks to the device (JAX dispatch is not thread-safe for interleaved
+donated buffers, and a single feeder matches the single-stream TPU
+execution model anyway).
 """
 
 from __future__ import annotations
@@ -44,6 +51,18 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     wav: Optional[np.ndarray] = None
     error: Optional[BaseException] = None
+
+
+@dataclass
+class _StreamRequest:
+    """A streaming synthesis request: the worker drives `pipeline.stream`
+    and pushes ('chunk', wav) / ('error', exc) / ('done', None) tuples;
+    the caller's generator drains them."""
+
+    text: str
+    controls: Tuple[Tuple[str, float], ...]
+    stream_kwargs: Dict[str, Any]
+    chunks: "queue.Queue" = field(default_factory=queue.Queue)
 
 
 class DynamicBatcher:
@@ -68,6 +87,7 @@ class DynamicBatcher:
         self._stats_lock = threading.Lock()
         self.batches_run = 0
         self.requests_served = 0
+        self.streams_served = 0
         self._worker = threading.Thread(
             target=self._run, name="tts-batcher", daemon=True
         )
@@ -101,6 +121,53 @@ class DynamicBatcher:
         assert req.wav is not None
         return req.wav
 
+    def synthesize_stream(
+        self,
+        text: str,
+        chunk_frames: int = 32,
+        context_frames: int = 16,
+        duration_scale: float = 1.0,
+        pitch_shift: float = 0.0,
+        energy_scale: float = 1.0,
+        timeout: Optional[float] = None,
+    ):
+        """Streaming submit: yields waveform chunks as the device produces
+        them (`TTSPipeline.stream` underneath — first audio after ~one chunk
+        of decode instead of the full utterance).  The stream runs on the
+        same single worker thread that owns the device, so it serializes
+        with batch requests rather than interleaving device calls;
+        `timeout` bounds the wait for EACH chunk."""
+        req = _StreamRequest(
+            text=text,
+            controls=(
+                ("duration_scale", float(duration_scale)),
+                ("pitch_shift", float(pitch_shift)),
+                ("energy_scale", float(energy_scale)),
+            ),
+            stream_kwargs={
+                "chunk_frames": int(chunk_frames),
+                "context_frames": int(context_frames),
+            },
+        )
+        self._queue.put(req)
+
+        def gen():
+            while True:
+                try:
+                    kind, payload = req.chunks.get(timeout=timeout)
+                except queue.Empty:
+                    raise TimeoutError(
+                        f"TTS stream chunk timed out after {timeout}s"
+                    ) from None
+                if kind == "chunk":
+                    yield payload
+                elif kind == "error":
+                    raise payload
+                else:  # "done"
+                    return
+
+        return gen()
+
     def close(self):
         """Drain and stop the worker (pending requests still complete)."""
         self._queue.put(None)
@@ -108,16 +175,19 @@ class DynamicBatcher:
 
     # ---- worker side ---------------------------------------------------------
 
-    def _take_batch(self) -> Optional[List[_Request]]:
+    def _take_batch(self):
         """Block for the first request, then fill the batch with whatever
-        arrives within the wait window.  Only same-controls requests fuse;
-        the first differing one is pushed back for the next batch."""
+        arrives within the wait window.  Only same-controls batch requests
+        fuse; the first differing one is pushed back for the next batch.
+        Stream requests never fuse — one returns alone immediately."""
         first = self._queue.get()
         if first is None:
             return None
+        if isinstance(first, _StreamRequest):
+            return first
         batch = [first]
         deadline = _now() + self.max_wait_s
-        leftover: Optional[_Request] = None
+        leftover = None
         while len(batch) < self.max_batch:
             remaining = deadline - _now()
             if remaining <= 0:
@@ -129,7 +199,7 @@ class DynamicBatcher:
             if req is None:  # close() while filling: finish, then stop
                 self._queue.put(None)
                 break
-            if req.controls != first.controls:
+            if isinstance(req, _StreamRequest) or req.controls != first.controls:
                 leftover = req
                 break
             batch.append(req)
@@ -137,11 +207,33 @@ class DynamicBatcher:
             self._queue.put(leftover)
         return batch
 
+    def _run_stream(self, req: _StreamRequest):
+        """Drive one streaming request to completion on the worker thread.
+        Head-of-line note: batch requests queued behind a stream wait for it
+        — the single feeder owns the device; a deployment mixing heavy
+        streaming with batch traffic should run one batcher per concern."""
+        try:
+            for chunk in self.pipeline.stream(
+                req.text, **req.stream_kwargs, **dict(req.controls)
+            ):
+                req.chunks.put(("chunk", chunk))
+        except BaseException as e:  # noqa: BLE001 — routed to the caller
+            req.chunks.put(("error", e))
+        else:
+            req.chunks.put(("done", None))
+        with self._stats_lock:
+            self.batches_run += 1
+            self.requests_served += 1
+            self.streams_served += 1
+
     def _run(self):
         while True:
             batch = self._take_batch()
             if batch is None:
                 return
+            if isinstance(batch, _StreamRequest):
+                self._run_stream(batch)
+                continue
             try:
                 wavs = self.pipeline.synthesize_batch(
                     [r.text for r in batch], **dict(batch[0].controls)
@@ -164,6 +256,7 @@ class DynamicBatcher:
             return {
                 "batches_run": self.batches_run,
                 "requests_served": self.requests_served,
+                "streams_served": self.streams_served,
                 "mean_batch_size": (
                     self.requests_served / self.batches_run
                     if self.batches_run

@@ -7,9 +7,14 @@ Usage:
       [--port 8000] [--max-batch 16] [--max-wait-ms 20]
 
 Endpoints:
-  POST /tts      {"text": "...", "duration_scale": 1.0, "pitch_shift": 0.0,
-                  "energy_scale": 1.0}  ->  audio/wav bytes
-  GET  /healthz  ->  {"ok": true, ...batcher stats}
+  POST /tts         {"text": "...", "duration_scale": 1.0, "pitch_shift": 0.0,
+                     "energy_scale": 1.0}  ->  audio/wav bytes
+  POST /tts/stream  same body (+ optional "chunk_frames") -> audio/wav
+                    streamed as it is synthesized: the WAV header goes out
+                    immediately (unknown-length RIFF sizes) and PCM chunks
+                    follow as the chunked AR decode produces them — first
+                    audio after ~one chunk of decode, not the full utterance
+  GET  /healthz     ->  {"ok": true, ...batcher stats}
 
 Concurrent requests that arrive within the micro-batch window are fused
 into ONE device program via `serving.DynamicBatcher` (see that module for
@@ -32,6 +37,14 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax
 
+# This image force-registers the TPU backend from sitecustomize before env
+# vars can apply; SAMBERT_FORCE_CPU=1 reclaims a CPU run (same contract as
+# every other CLI in scripts/).
+import os as _os
+
+if _os.getenv("SAMBERT_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 from sambert_hifigan_tpu.utils.jax_cache import enable as _enable_jax_cache
 
 _enable_jax_cache()
@@ -48,6 +61,24 @@ def wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
         pcm = np.clip(wav, -1.0, 1.0)
         w.writeframes((pcm * 32767.0).astype("<i2").tobytes())
     return buf.getvalue()
+
+
+def pcm16(wav: np.ndarray) -> bytes:
+    return (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+
+def wav_stream_header(sample_rate: int) -> bytes:
+    """RIFF/WAVE header with unknown-length sizes (0xFFFFFFFF), the standard
+    convention for live-streamed WAV: players and decoders read PCM until
+    the connection closes."""
+    import struct
+
+    return (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+    )
 
 
 def make_handler(batcher, sample_rate: int, request_timeout: float):
@@ -70,7 +101,7 @@ def make_handler(batcher, sample_rate: int, request_timeout: float):
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/tts":
+            if self.path not in ("/tts", "/tts/stream"):
                 self._json(404, {"error": "unknown path"})
                 return
             try:
@@ -79,6 +110,9 @@ def make_handler(batcher, sample_rate: int, request_timeout: float):
                 text = req["text"]
             except (ValueError, KeyError) as e:
                 self._json(400, {"error": f"bad request: {e!r}"})
+                return
+            if self.path == "/tts/stream":
+                self._stream(req, text)
                 return
             try:
                 wav = batcher.synthesize(
@@ -100,6 +134,45 @@ def make_handler(batcher, sample_rate: int, request_timeout: float):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _stream(self, req: dict, text: str):
+            """Incremental response: headers + WAV header immediately, then
+            one PCM write per synthesized chunk.  The first error (raised by
+            the frontend/encoder before any audio exists) becomes a JSON 500;
+            once audio bytes have been sent the connection simply closes."""
+            chunks = batcher.synthesize_stream(
+                text,
+                chunk_frames=int(req.get("chunk_frames", 32)),
+                duration_scale=float(req.get("duration_scale", 1.0)),
+                pitch_shift=float(req.get("pitch_shift", 0.0)),
+                energy_scale=float(req.get("energy_scale", 1.0)),
+                timeout=request_timeout,
+            )
+            try:
+                first = next(chunks, None)
+            except Exception as e:  # noqa: BLE001 — surface to the client
+                self._json(500, {"error": repr(e)})
+                return
+            # body length is unknown until synthesis ends: no Content-Length,
+            # the response ends when the connection closes (HTTP/1.1 allows
+            # this for close-delimited messages)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            self.close_connection = True
+            try:
+                self.wfile.write(wav_stream_header(sample_rate))
+                if first is not None:
+                    self.wfile.write(pcm16(first))
+                    self.wfile.flush()
+                for chunk in chunks:
+                    self.wfile.write(pcm16(chunk))
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client hung up; drain is the generator's problem
+            except Exception:  # noqa: BLE001 — mid-stream: can only close
+                pass
 
     return Handler
 

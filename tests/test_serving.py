@@ -38,6 +38,17 @@ class StubPipeline:
             for t in texts
         ]
 
+    def stream(self, text, chunk_frames=32, context_frames=16, **controls):
+        """One chunk per character, value = its index (ordering check)."""
+        with self.lock:
+            self.calls.append(("stream", text, dict(controls)))
+        if self.fail_on is not None and self.fail_on in text:
+            raise RuntimeError(f"stub stream failure for {self.fail_on}")
+        for i in range(len(text)):
+            if self.delay_s:
+                time.sleep(self.delay_s)
+            yield np.full(chunk_frames, float(i), np.float32)
+
 
 class TestDynamicBatcher:
     def test_single_request_roundtrip(self):
@@ -128,6 +139,82 @@ class TestDynamicBatcher:
         assert st["mean_batch_size"] >= 1.0
 
 
+class TestStreaming:
+    def test_chunks_arrive_in_order(self):
+        b = DynamicBatcher(StubPipeline(), max_batch=4, max_wait_ms=1)
+        got = list(b.synthesize_stream("abc", chunk_frames=8))
+        b.close()
+        assert len(got) == 3
+        for i, c in enumerate(got):
+            assert c.shape == (8,)
+            assert c[0] == float(i)
+
+    def test_chunks_are_incremental_not_buffered(self):
+        """With a per-chunk delay, the first chunk must arrive well before
+        the stream completes (the worker pushes as it synthesizes)."""
+        stub = StubPipeline(delay_s=0.05)
+        b = DynamicBatcher(stub, max_batch=4, max_wait_ms=1)
+        t0 = time.monotonic()
+        it = b.synthesize_stream("abcdefgh", timeout=5.0)
+        first_at = None
+        n = 0
+        for _ in it:
+            if first_at is None:
+                first_at = time.monotonic() - t0
+            n += 1
+        total = time.monotonic() - t0
+        b.close()
+        assert n == 8
+        assert first_at < total / 2, (first_at, total)
+
+    def test_stream_error_propagates(self):
+        b = DynamicBatcher(StubPipeline(fail_on="bad"), max_batch=2, max_wait_ms=1)
+        with pytest.raises(RuntimeError, match="stub stream failure"):
+            list(b.synthesize_stream("bad"))
+        # batcher survives and still serves both kinds
+        assert b.synthesize("ok").shape == (2,)
+        assert len(list(b.synthesize_stream("ok"))) == 2
+        b.close()
+
+    def test_streams_never_fuse_with_batches(self):
+        stub = StubPipeline(delay_s=0.01)
+        b = DynamicBatcher(stub, max_batch=8, max_wait_ms=30)
+        results = {}
+
+        def batch_worker(i):
+            results[f"b{i}"] = b.synthesize(f"tx{i}")
+
+        def stream_worker(i):
+            results[f"s{i}"] = list(b.synthesize_stream("xyz"))
+
+        threads = [threading.Thread(target=batch_worker, args=(i,)) for i in range(3)]
+        threads += [threading.Thread(target=stream_worker, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        st = b.stats()
+        b.close()
+        assert st["streams_served"] == 2
+        assert st["requests_served"] == 5
+        for i in range(3):
+            assert results[f"b{i}"].shape == (3,)
+        for i in range(2):
+            assert len(results[f"s{i}"]) == 3
+        # no stub call mixes stream and batch texts
+        for call in stub.calls:
+            if call[0] == "stream":
+                assert call[1] == "xyz"
+            else:
+                assert all(t.startswith("tx") for t in call[0])
+
+    def test_chunk_timeout(self):
+        b = DynamicBatcher(StubPipeline(delay_s=0.5), max_batch=1, max_wait_ms=1)
+        with pytest.raises(TimeoutError):
+            list(b.synthesize_stream("xy", timeout=0.05))
+        b.close()
+
+
 class TestHTTPServer:
     @pytest.fixture()
     def server(self):
@@ -188,3 +275,26 @@ class TestHTTPServer:
             assert False, "expected HTTPError"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+    def test_tts_stream_roundtrip(self, server):
+        """/tts/stream returns a live WAV: unknown-length RIFF header followed
+        by PCM16 chunks, message delimited by connection close."""
+        httpd, _ = server
+        port = httpd.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts/stream",
+            data=json.dumps({"text": "hello", "chunk_frames": 4}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "audio/wav"
+            assert resp.headers.get("Content-Length") is None
+            body = resp.read()  # close-delimited
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        # 44-byte header + 5 chunks (one per char) of 4 samples of int16
+        pcm = np.frombuffer(body[44:], "<i2")
+        assert pcm.shape == (5 * 4,)
+        # stub chunk i is constant i/32767-ish after int16 quantization
+        got = pcm.reshape(5, 4)[:, 0]
+        assert list(got) == [min(i * 32767, 32767) for i in range(5)]
