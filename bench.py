@@ -109,6 +109,26 @@ def compiled_flops(jitted, *args) -> float | None:
         return None
 
 
+def measure_step_rate(step, state, args, rtt, reps=3, k=8) -> float:
+    """Min-of-reps amortized seconds/step for a donated-state train step:
+    warms/compiles once, then times k back-to-back dispatches per rep with
+    ONE scalar sync, threading the donated state through every call.
+    Shared by bench_training and scripts/bench_scaling.py so the timing
+    methodology cannot drift between the two surfaces."""
+    state, m = step(state, *args)
+    sync = lambda mm: float(list(mm.values())[0])  # noqa: E731
+    sync(m)
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state, m = step(state, *args)
+        sync(m)
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9) / k
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def bench_training(rtt: float) -> dict:
     """Train-step surfaces (VERDICT r02 item 4): reference-shape batches on
     the real chip, steps/s + MFU from XLA-counted FLOPs vs the chip's bf16
@@ -132,19 +152,7 @@ def bench_training(rtt: float) -> dict:
     results = {}
 
     def run(label, step, state, args, flops):
-        # warm/compile (donated state: thread it through every call)
-        state, m = step(state, *args)
-        sync = lambda mm: float(list(mm.values())[0])  # noqa: E731
-        sync(m)
-        reps, k = 3, 8
-        best = None
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            for _ in range(k):
-                state, m = step(state, *args)
-            sync(m)
-            dt = max(time.perf_counter() - t0 - rtt, 1e-9) / k
-            best = dt if best is None else min(best, dt)
+        best = measure_step_rate(step, state, args, rtt)
         sps = 1.0 / best
         results[f"train_{label}_steps_per_s"] = round(sps, 2)
         msg = f"train {label}: {best * 1e3:.2f} ms/step ({sps:.2f} steps/s)"

@@ -68,7 +68,18 @@ def want_prefetch(mode: str) -> bool:
         return True
     if mode == "off":
         return False
-    return (os.cpu_count() or 1) > 1
+    return _available_cpus() > 1
+
+
+def _available_cpus() -> int:
+    """Cores available to THIS process — affinity/cgroup-aware, because a
+    container pinned to 1 CPU on a 64-core host is exactly the
+    single-core-contention regime 'auto' must avoid (os.cpu_count reports
+    the machine, not the quota)."""
+    try:
+        return len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):  # non-Linux
+        return os.cpu_count() or 1
 
 
 class _Failure:

@@ -230,16 +230,12 @@ def remove_weight_norm(params):
     and checkpoints stay load-compatible."""
 
     def fold(node):
-        if (
-            isinstance(node, dict)
-            and set(node.keys()) == {"g", "v"}
-        ):
+        # tree.map's is_leaf hands this only {"g","v"} dicts and true leaves
+        if isinstance(node, dict):
             w = conv_ops.weight_norm_kernel(node["g"], node["v"])
             axes = tuple(range(w.ndim - 1))
             g = jnp.sqrt(jnp.sum(jnp.square(w), axis=axes))
             return {"g": g, "v": w}
-        if isinstance(node, dict):
-            return {k: fold(v) for k, v in node.items()}
         return node
 
     return jax.tree.map(
@@ -255,13 +251,12 @@ def apply_weight_norm(params):
     independent trainable quantities again."""
 
     def split(node):
-        if isinstance(node, dict) and set(node.keys()) == {"g", "v"}:
+        # tree.map's is_leaf hands this only {"g","v"} dicts and true leaves
+        if isinstance(node, dict):
             v = node["v"]
             axes = tuple(range(v.ndim - 1))
             g = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes))
             return {"g": g, "v": v}
-        if isinstance(node, dict):
-            return {k: split(v) for k, v in node.items()}
         return node
 
     return jax.tree.map(

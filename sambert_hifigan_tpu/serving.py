@@ -51,6 +51,7 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     wav: Optional[np.ndarray] = None
     error: Optional[BaseException] = None
+    cancelled: bool = False  # set by a timed-out caller; worker drops it
 
 
 @dataclass
@@ -85,6 +86,7 @@ class DynamicBatcher:
         self.max_wait_s = max_wait_ms / 1e3
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._stats_lock = threading.Lock()
+        self._leftover = None  # worker-held non-fusing request; leads next batch
         self.batches_run = 0
         self.requests_served = 0
         self.streams_served = 0
@@ -115,6 +117,12 @@ class DynamicBatcher:
         )
         self._queue.put(req)
         if not req.done.wait(timeout):
+            # Mark abandoned so the worker drops it instead of synthesizing
+            # audio nobody will read (under overload, serving dead requests
+            # would keep the device saturated and the backlog would never
+            # clear).  Benign race: a request already inside a running batch
+            # still completes.
+            req.cancelled = True
             raise TimeoutError(f"TTS request timed out after {timeout}s")
         if req.error is not None:
             raise req.error
@@ -175,36 +183,48 @@ class DynamicBatcher:
 
     # ---- worker side ---------------------------------------------------------
 
+    def _next_request(self, timeout=None):
+        """Pop the next live request: the worker-held leftover first (FIFO —
+        re-queueing it at the tail would let steady same-controls traffic
+        starve a minority-controls request forever, and would lose it
+        entirely if close()'s None sentinel were already queued), then the
+        queue, dropping requests whose callers already timed out."""
+        while True:
+            if self._leftover is not None:
+                req, self._leftover = self._leftover, None
+            else:
+                req = self._queue.get(timeout=timeout)  # may raise queue.Empty
+            if req is not None and getattr(req, "cancelled", False):
+                continue  # abandoned by a timed-out caller: skip, don't burn a batch slot
+            return req
+
     def _take_batch(self):
         """Block for the first request, then fill the batch with whatever
         arrives within the wait window.  Only same-controls batch requests
-        fuse; the first differing one is pushed back for the next batch.
-        Stream requests never fuse — one returns alone immediately."""
-        first = self._queue.get()
+        fuse; the first differing one is held by the worker and leads the
+        NEXT batch.  Stream requests never fuse — one returns alone."""
+        first = self._next_request()
         if first is None:
             return None
         if isinstance(first, _StreamRequest):
             return first
         batch = [first]
         deadline = _now() + self.max_wait_s
-        leftover = None
         while len(batch) < self.max_batch:
             remaining = deadline - _now()
             if remaining <= 0:
                 break
             try:
-                req = self._queue.get(timeout=remaining)
+                req = self._next_request(timeout=remaining)
             except queue.Empty:
                 break
             if req is None:  # close() while filling: finish, then stop
                 self._queue.put(None)
                 break
             if isinstance(req, _StreamRequest) or req.controls != first.controls:
-                leftover = req
+                self._leftover = req
                 break
             batch.append(req)
-        if leftover is not None:
-            self._queue.put(leftover)
         return batch
 
     def _run_stream(self, req: _StreamRequest):

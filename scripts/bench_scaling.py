@@ -71,7 +71,7 @@ def main():
     ap.add_argument("--tfrm", type=int, default=384)
     args = ap.parse_args()
 
-    from bench import compiled_flops, measure_rtt, peak_flops
+    from bench import compiled_flops, measure_rtt, measure_step_rate, peak_flops
     from sambert_hifigan_tpu.data.dataset import synthetic_batch
     from sambert_hifigan_tpu.models.acoustic_model import SAMBERTAcousticModel
     from sambert_hifigan_tpu.training.acoustic_trainer import (
@@ -100,21 +100,12 @@ def main():
         step = make_jitted_acoustic_step(model, cfg)
         flops = compiled_flops(step, state, batch, jax.random.PRNGKey(1))
 
-        # warm/compile (donated state: thread it through)
         t0 = time.perf_counter()
-        state, m = step(state, batch, jax.random.PRNGKey(1))
-        float(list(m.values())[0])
-        log(f"d={d}: compile+first {time.perf_counter() - t0:.1f}s, "
-            f"params {n_params / 1e6:.1f}M")
-
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(8):
-                state, m = step(state, batch, jax.random.PRNGKey(1))
-            float(list(m.values())[0])
-            dt = max(time.perf_counter() - t0 - rtt, 1e-9) / 8
-            best = dt if best is None else min(best, dt)
+        best = measure_step_rate(
+            step, state, (batch, jax.random.PRNGKey(1)), rtt
+        )
+        log(f"d={d}: measured in {time.perf_counter() - t0:.1f}s "
+            f"(incl. compile), params {n_params / 1e6:.1f}M")
 
         row = {
             "d_model": d,

@@ -78,6 +78,12 @@ def main():
     ]
     if args.n:
         utts = utts[: args.n]
+    if not utts:
+        raise SystemExit(
+            f"no matched utterances: {len(gts)} utt_*.wav under {gt_dir}, "
+            f"but none have '<stem>{args.suffix}.wav' in every --syn-dir "
+            f"(wrong --suffix or directory?)"
+        )
     print(f"{len(utts)} matched utterances: {utts[0]} .. {utts[-1]}")
 
     header = f"{'system':>12} {'mel-MAE':>8} {'MCD dB':>8} {'stft-MAE':>9} {'F0-RMSE':>8} {'voic-F1':>8}"
@@ -95,9 +101,12 @@ def main():
             if np.isfinite(f0m["f0_rmse_hz"]):
                 fr.append(f0m["f0_rmse_hz"])
             vf.append(f0m["voicing_f1"])
+        # fr can be empty when no utterance has jointly-voiced frames;
+        # print a marker instead of numpy's nan-with-RuntimeWarning
+        f0_col = f"{np.mean(fr):8.2f}" if fr else f"{'n/a':>8}"
         print(
             f"{label:>12} {np.mean(mm):8.4f} {np.mean(mc):8.3f} "
-            f"{np.mean(sm):9.4f} {np.mean(fr):8.2f} {np.mean(vf):8.4f}"
+            f"{np.mean(sm):9.4f} {f0_col} {np.mean(vf):8.4f}"
         )
 
 

@@ -108,19 +108,26 @@ def make_handler(batcher, sample_rate: int, request_timeout: float):
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 text = req["text"]
-            except (ValueError, KeyError) as e:
+                if not isinstance(text, str):
+                    raise TypeError("'text' must be a string")
+                controls = {
+                    k: float(req.get(k, dflt))
+                    for k, dflt in (("duration_scale", 1.0),
+                                    ("pitch_shift", 0.0),
+                                    ("energy_scale", 1.0))
+                }
+            # TypeError covers non-dict JSON bodies ('"x"'.__getitem__) and
+            # non-numeric controls ({"pitch_shift": [1]}) — without it the
+            # handler dies responseless and the client sees a reset socket
+            except (ValueError, KeyError, TypeError) as e:
                 self._json(400, {"error": f"bad request: {e!r}"})
                 return
             if self.path == "/tts/stream":
-                self._stream(req, text)
+                self._stream(req, text, controls)
                 return
             try:
                 wav = batcher.synthesize(
-                    text,
-                    duration_scale=float(req.get("duration_scale", 1.0)),
-                    pitch_shift=float(req.get("pitch_shift", 0.0)),
-                    energy_scale=float(req.get("energy_scale", 1.0)),
-                    timeout=request_timeout,
+                    text, **controls, timeout=request_timeout,
                 )
             except TimeoutError:
                 self._json(503, {"error": "request timed out in queue"})
@@ -135,17 +142,20 @@ def make_handler(batcher, sample_rate: int, request_timeout: float):
             self.end_headers()
             self.wfile.write(body)
 
-        def _stream(self, req: dict, text: str):
+        def _stream(self, req: dict, text: str, controls: dict):
             """Incremental response: headers + WAV header immediately, then
             one PCM write per synthesized chunk.  The first error (raised by
             the frontend/encoder before any audio exists) becomes a JSON 500;
             once audio bytes have been sent the connection simply closes."""
+            try:
+                chunk_frames = int(req.get("chunk_frames", 32))
+            except (ValueError, TypeError) as e:
+                self._json(400, {"error": f"bad request: {e!r}"})
+                return
             chunks = batcher.synthesize_stream(
                 text,
-                chunk_frames=int(req.get("chunk_frames", 32)),
-                duration_scale=float(req.get("duration_scale", 1.0)),
-                pitch_shift=float(req.get("pitch_shift", 0.0)),
-                energy_scale=float(req.get("energy_scale", 1.0)),
+                chunk_frames=chunk_frames,
+                **controls,
                 timeout=request_timeout,
             )
             try:

@@ -168,6 +168,7 @@ def main():
         batches.close()
     if ckpt.latest_step() != total_steps:  # interval save may already cover it
         ckpt.save(total_steps, jax.device_get(state))
+    writer.close()  # flush buffered TensorBoard events (the tail of the run)
     print(f"[train_acoustic] done at step {total_steps}; checkpoints in {ckpt_dir}")
 
 

@@ -128,12 +128,22 @@ def test_context_manager():
 
 
 def test_want_prefetch_policy(monkeypatch):
-    """'on'/'off' are absolute; 'auto' follows the core count (the measured
-    1-core contention result in the module docstring)."""
+    """'on'/'off' are absolute; 'auto' follows the AVAILABLE core count
+    (affinity-aware: a container pinned to 1 CPU of a 64-core host must
+    count as 1 — the measured contention regime in the module docstring)."""
     assert want_prefetch("on") is True
     assert want_prefetch("off") is False
     import sambert_hifigan_tpu.data.prefetch as pf
 
+    monkeypatch.setattr(pf.os, "sched_getaffinity", lambda pid: {0}, raising=False)
+    assert want_prefetch("auto") is False
+    monkeypatch.setattr(
+        pf.os, "sched_getaffinity", lambda pid: set(range(8)), raising=False
+    )
+    assert want_prefetch("auto") is True
+
+    # non-Linux fallback: sched_getaffinity missing -> os.cpu_count
+    monkeypatch.delattr(pf.os, "sched_getaffinity", raising=False)
     monkeypatch.setattr(pf.os, "cpu_count", lambda: 1)
     assert want_prefetch("auto") is False
     monkeypatch.setattr(pf.os, "cpu_count", lambda: 8)

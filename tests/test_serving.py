@@ -128,6 +128,49 @@ class TestDynamicBatcher:
             b.synthesize("x", timeout=0.05)
         b.close()
 
+    def test_timed_out_requests_are_not_synthesized(self):
+        """An abandoned (timed-out) request must be dropped by the worker,
+        not burned as dead device work — under overload the server has to
+        shed load, not saturate the chip with audio nobody reads."""
+        stub = StubPipeline(delay_s=0.2)
+        b = DynamicBatcher(stub, max_batch=1, max_wait_ms=1)
+        with pytest.raises(TimeoutError):
+            b.synthesize("first", timeout=0.05)  # occupies the worker
+        with pytest.raises(TimeoutError):
+            b.synthesize("dead", timeout=0.05)  # abandoned while queued
+        assert b.synthesize("live").shape == (4,)
+        b.close()
+        texts = [t for call in stub.calls for t in call[0]]
+        assert "dead" not in texts
+        assert "live" in texts
+
+    def test_leftover_is_served_next_not_requeued(self):
+        """A non-fusing (minority-controls) request leads the NEXT batch
+        instead of going to the queue tail, so steady same-controls traffic
+        cannot starve it, and close() cannot strand it behind the shutdown
+        sentinel."""
+        stub = StubPipeline(delay_s=0.05)
+        b = DynamicBatcher(stub, max_batch=8, max_wait_ms=60)
+        results = {}
+
+        def worker(i, scale):
+            results[i] = b.synthesize(f"t{i}", duration_scale=scale)
+
+        # one minority request submitted among majority traffic
+        threads = [
+            threading.Thread(target=worker, args=(i, 1.0)) for i in range(4)
+        ] + [threading.Thread(target=worker, args=(99, 2.0))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        b.close()
+        assert results[99][0] == 2.0  # served, with ITS controls
+        # the minority batch ran immediately after the batch that popped it
+        # (no unbounded deferral): 3 batches in the tightest schedule, +1
+        # margin for staggered thread starts on a loaded 1-core CI host
+        assert len(stub.calls) <= 4, stub.calls
+
     def test_stats(self):
         b = DynamicBatcher(StubPipeline(), max_batch=4, max_wait_ms=1)
         b.synthesize("abcd")
