@@ -125,6 +125,10 @@ class DiscriminatorConfig:
     # sizes).  Tests use a large divisor so GAN train-step graphs compile in
     # seconds instead of minutes on CPU; group counts shrink with the channels.
     channel_div: int = 1
+    # Channel-fold cap for the MSD's k=41 grouped convs (element-exact MXU
+    # lane-filling transform, ops/conv.py:folded_conv1d; profiled: these convs
+    # dominate the GAN train step).  0/1 disables.
+    msd_fold_max: int = 8
 
 
 @dataclass(frozen=True)

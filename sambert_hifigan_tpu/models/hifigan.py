@@ -171,6 +171,13 @@ class ScaleDiscriminator(nn.Module):
 
     use_spectral_norm: bool = False
     channel_div: int = 1
+    # Channel-fold cap for the k=41 grouped convs (ops/conv.py:folded_conv1d):
+    # they expose only C_out/groups = 16..64 MXU lanes per group and dominate
+    # the GAN train step (profiled: MSD = 68% of the 104 ms step, ~6% MFU on
+    # these convs).  Folding min(fold_max, 128 // Cg_out) output steps into
+    # the channel axis fills the lanes at 1.0-2.3x the FLOPs — element-exact,
+    # parameters unchanged.  0/1 disables.
+    fold_max: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -193,9 +200,14 @@ class ScaleDiscriminator(nn.Module):
         for i, (cin, cout, k, s, g, p) in enumerate(specs):
             cin, cout = scale(cin), scale(cout)
             g = math.gcd(g, math.gcd(cin, cout))
+            fold = (
+                min(self.fold_max, max(1, 128 // (cout // g)))
+                if k == 41 and self.fold_max > 1
+                else 1
+            )
             h = Conv1d(
                 cin, cout, k, stride=s, groups=g, padding=p,
-                weight_norm=not self.use_spectral_norm,
+                weight_norm=not self.use_spectral_norm, fold=fold,
                 dtype=self.dtype, name=f"conv_{i}",
             )(h)
             h = leaky_relu(h, LRELU_SLOPE)
@@ -219,6 +231,8 @@ class MultiScaleDiscriminator(nn.Module):
 
     use_spectral_norm: bool = False
     channel_div: int = 1
+    n_scales: int = 3  # config msd_scales; 3 = the reference's 1x/2x/4x
+    fold_max: int = 8  # see ScaleDiscriminator.fold_max
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -227,13 +241,13 @@ class MultiScaleDiscriminator(nn.Module):
     ) -> Tuple[List[jnp.ndarray], List[List[jnp.ndarray]]]:
         outputs, fmaps_list = [], []
         xt = jnp.swapaxes(x, 1, 2)  # [B, T, 1]
-        pooled_once = avg_pool1d(xt, 4, 2, 2)
-        pooled_twice = avg_pool1d(pooled_once, 4, 2, 2)
-        scales = [xt, pooled_once, pooled_twice]
+        scales = [xt]
+        for _ in range(self.n_scales - 1):
+            scales.append(avg_pool1d(scales[-1], 4, 2, 2))
         for i, xs in enumerate(scales):
             out, fmaps = ScaleDiscriminator(
                 self.use_spectral_norm, channel_div=self.channel_div,
-                dtype=self.dtype, name=f"disc_{i}"
+                fold_max=self.fold_max, dtype=self.dtype, name=f"disc_{i}"
             )(jnp.swapaxes(xs, 1, 2))
             outputs.append(out)
             fmaps_list.append(fmaps)
@@ -340,6 +354,8 @@ class HiFiGAN(nn.Module):
         self.msd = MultiScaleDiscriminator(
             self.config.discriminator.msd_use_spectral_norm,
             channel_div=self.config.discriminator.channel_div,
+            n_scales=self.config.discriminator.msd_scales,
+            fold_max=self.config.discriminator.msd_fold_max,
             dtype=self.dtype,
         )
         self.mpd = MultiPeriodDiscriminator(

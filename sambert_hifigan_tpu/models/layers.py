@@ -40,7 +40,7 @@ class Conv1d(nn.Module):
     weight_norm: bool = False
     # Channel-fold factor for the MXU (see ops/conv.py:folded_conv1d); a
     # call-time transform — parameter shapes and semantics are unchanged.
-    # Applied only when stride == groups == 1 and T divides evenly.
+    # Stride/groups-aware; T that does not divide is zero-padded and trimmed.
     fold: int = 1
     dtype: jnp.dtype = jnp.float32
 
@@ -66,15 +66,10 @@ class Conv1d(nn.Module):
         w = w.astype(self.dtype)
         b = b.astype(self.dtype) if b is not None else None
         x = x.astype(self.dtype)
-        if (
-            self.fold > 1
-            and self.stride == 1
-            and self.groups == 1
-            and x.shape[1] % self.fold == 0
-        ):
+        if self.fold > 1:
             return conv_ops.folded_conv1d(
-                x, w, b, padding=self.padding, dilation=self.dilation,
-                fold=self.fold,
+                x, w, b, stride=self.stride, padding=self.padding,
+                dilation=self.dilation, groups=self.groups, fold=self.fold,
             )
         return conv_ops.conv1d(
             x,

@@ -171,58 +171,119 @@ def folded_conv1d(
     x: jnp.ndarray,
     w: jnp.ndarray,
     b: Optional[jnp.ndarray] = None,
+    stride: int = 1,
     padding: int = 0,
     dilation: int = 1,
+    groups: int = 1,
     fold: int = 4,
 ) -> jnp.ndarray:
-    """Channel-folded stride-1 conv1d — exact same math as conv1d, rearranged
-    for the MXU.
+    """Channel-folded conv1d (stride/groups-aware) — exact same math as
+    conv1d, rearranged for the MXU.
 
-    HiFi-GAN's late stages are long-T, small-C convs (C = 32..64 at up to
-    256x the frame rate); a C=32 conv uses 32 of the MXU's 128 output lanes
-    and a 32*k contraction — single-digit utilization (measured 1.6 TFLOP/s
-    on v5e).  Folding packs `fold` consecutive time steps into the channel
-    axis ([T, C] -> [T/fold, fold*C]) and rewrites the conv as a block-
-    Toeplitz conv over the folded axis:
+    Small-channel convs starve the MXU's 128 output lanes: HiFi-GAN's MRF
+    tail runs C = 32..64 (measured 1.6 TFLOP/s on v5e), and the MSD
+    discriminator ladder is WORSE — grouped k=41 convs expose only
+    C_out/groups = 16..64 lanes per group at up to 8192-sample sequences
+    (profiled at ~6% MFU; they dominate the GAN train step).  Folding packs
+    `fold` consecutive OUTPUT steps into the channel axis: per group,
+    [T, Cg] -> [T/(fold*s), fold*s*Cg] and the conv becomes a block-Toeplitz
+    conv over the folded axis whose per-group matmul is
+    [T', K_f*fold*s*Cg_in] @ [K_f*fold*s*Cg_in, fold*Cg_out] — `fold`x the
+    output lanes.  For output phase j and tap i:
 
-      o = j + i*d - p,  (q, s) = divmod(o, fold)
-      W_f[q - q_min, s*Ci + ci, j*Co + co] = w[i, ci, co]
+      o = s*j + i*d - p,  (q, m) = divmod(o, fold*s)
+      W_f[q - q_min, (m, ci), (g, j, co)] = w[i, ci, g*Cg_out + co]
 
-    so y_f = conv(x_f, W_f) with asymmetric padding (-q_min, q_max) equals the
-    original output exactly (zero padding commutes with the fold because
-    folded pad blocks are whole blocks of original zeros).  The dense W_f does
-    up to ~fold x more multiplies, but utilization rises ~fold^2, a measured
-    net win for C*k << 128*128.
-
-    Requires T % fold == 0 and stride 1 / groups 1.
+    so y_f = grouped_conv(x_f, W_f) with asymmetric folded-axis padding
+    (-q_min, q_max) equals the original exactly: zero padding commutes with
+    the fold (pad blocks are whole blocks of original zeros), and T that is
+    not a multiple of fold*s is right-zero-padded then output-trimmed, which
+    matches the conv's own implicit zero padding (no valid output tap ever
+    reads past index T + p - 1).  The dense W_f does K_f*fold*s/k x the
+    multiplies (1.0-2.3x for the MSD shapes) for fold x the lanes — a
+    measured net win whenever Cg*k << 128*128.
     """
     if fold <= 1:
-        return conv1d(x, w, b, padding=padding, dilation=dilation)
+        return conv1d(
+            x, w, b, stride=stride, padding=padding, dilation=dilation,
+            groups=groups,
+        )
     bsz, t, cin = x.shape
-    k, _, cout = w.shape
-    if t % fold:
-        raise ValueError(f"T={t} not divisible by fold={fold}")
-    o_min = -padding
-    o_max = (fold - 1) + (k - 1) * dilation - padding
-    q_min = o_min // fold
-    q_max = o_max // fold
+    k, cg_in, cout = w.shape
+    if cg_in * groups != cin or cout % groups:
+        raise ValueError(
+            f"bad grouped shapes: x C={cin}, w {w.shape}, groups={groups}"
+        )
+    cg_out = cout // groups
+    r, s, d, p = fold, stride, dilation, padding
+    big_f = r * s  # input steps consumed per folded block of r outputs
+    t_out = (t + 2 * p - (k - 1) * d - 1) // s + 1
+    n_blocks = max(-(-t // big_f), -(-t_out // r))
+    t_pad = n_blocks * big_f
+    if t_pad > t:
+        x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+
+    q_min = (-p) // big_f  # floor; <= 0 since o_min = -p
+    o_max = s * (r - 1) + (k - 1) * d - p
+    q_max = o_max // big_f
     k_f = q_max - q_min + 1
-    w_f = jnp.zeros((k_f, fold * cin, fold * cout), w.dtype)
-    for j in range(fold):
-        for i in range(k):
-            q, s = divmod(j + i * dilation - padding, fold)
-            w_f = jax.lax.dynamic_update_slice(
-                w_f, w[i][None], (q - q_min, s * cin, j * cout)
-            )
-    x_f = x.reshape(bsz, t // fold, fold * cin)
-    y_f = lax.conv_general_dilated(
-        x_f,
-        w_f,
-        window_strides=(1,),
-        padding=[(-q_min, q_max)],
-        dimension_numbers=("NHC", "HIO", "NHC"),
+    # Build [K_f, (m, ci), (g, j, co)] with ONE gather: for each folded-kernel
+    # cell (q, m, j) at most one original tap i satisfies
+    # (q_min + q)*F + m == s*j + i*d - p; precompute that index map statically
+    # (a per-(i,j) scatter would emit O(k*fold) HLO ops and blow up XLA
+    # compile time on the full 41-tap ladder).
+    import numpy as _np
+
+    i_idx = _np.zeros((k_f, big_f, r), _np.int32)
+    valid = _np.zeros((k_f, big_f, r), bool)
+    for q in range(k_f):
+        for m in range(big_f):
+            o = (q_min + q) * big_f + m
+            num = o + p - s * _np.arange(r)  # i*d for each phase j
+            i_cand = num // d
+            ok = (num % d == 0) & (i_cand >= 0) & (i_cand < k)
+            i_idx[q, m] = _np.where(ok, i_cand, 0)
+            valid[q, m] = ok
+    wr = w.reshape(k, cg_in, groups, cg_out)
+    w6 = jnp.take(wr, jnp.asarray(i_idx.reshape(-1)), axis=0)
+    w6 = w6.reshape(k_f, big_f, r, cg_in, groups, cg_out)
+    w6 = jnp.where(
+        jnp.asarray(valid)[:, :, :, None, None, None], w6, 0
     )
-    y = y_f.reshape(bsz, t, cout)
+    w6 = w6.transpose(0, 1, 3, 4, 2, 5)  # -> [K_f, m, ci, g, j, co]
+
+    if groups == 1:
+        # 1-D folded conv, I-dim (m, ci): pure reshapes, no relayout
+        w_f = w6.reshape(k_f, big_f * cg_in, r * cg_out)
+        x_f = x.reshape(bsz, n_blocks, big_f * cin)
+        y_f = lax.conv_general_dilated(
+            x_f,
+            w_f,
+            window_strides=(1,),
+            padding=[(-q_min, q_max)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )  # [B, n_blocks, r * cg_out]
+        y = y_f.reshape(bsz, n_blocks * r, cout)[:, :t_out]
+    else:
+        # Grouped: feature_group_count needs group-contiguous input channels,
+        # and the (m, g) -> (g, m) fold transpose costs ~0.4 ms per 8 MB on
+        # v5e (measured — it dominated the first folded GAN step).  Instead
+        # run a 2-D conv with H = block index and W = within-block position:
+        # the kernel's W extent covers all big_f positions (out W = 1) and
+        # channels stay untouched, so the input needs only a free reshape.
+        x4 = x.reshape(bsz, n_blocks, big_f, cin)
+        w4 = w6.reshape(k_f, big_f, cg_in, groups * r * cg_out)
+        y_f = lax.conv_general_dilated(
+            x4,
+            w4,
+            window_strides=(1, 1),
+            padding=[(-q_min, q_max), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )  # [B, n_blocks, 1, groups * r * cg_out]
+        y = y_f.reshape(bsz, n_blocks, groups, r, cg_out)
+        y = y.transpose(0, 1, 3, 2, 4)  # output unfold: (g, j) -> (j, g)
+        y = y.reshape(bsz, n_blocks * r, cout)[:, :t_out]
     if b is not None:
         y = y + b
     return y

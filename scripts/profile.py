@@ -59,6 +59,13 @@ def parse_args():
     p.add_argument("--max-frames", type=int, default=512)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--perfetto", action="store_true",
+                   help="also write a Perfetto trace.json.gz (machine-"
+                        "parseable op timeline, loadable at ui.perfetto.dev)")
+    p.add_argument("--top-ops", type=int, default=0, metavar="N",
+                   help="with --perfetto: print the N device ops with the "
+                        "largest total duration (quick hotspot listing "
+                        "without leaving the terminal)")
     return p.parse_args()
 
 
@@ -155,17 +162,52 @@ def main():
     sync(fn())
     sync(fn())
 
-    with jax.profiler.trace(str(out_dir)):
+    jax.profiler.start_trace(str(out_dir), create_perfetto_trace=args.perfetto)
+    try:
         out = None
         for _ in range(args.reps):
             out = fn()
         sync(out)
+    finally:
+        jax.profiler.stop_trace()
 
-    produced = sorted(str(p.relative_to(out_dir)) for p in out_dir.rglob("*.pb"))
+    produced = sorted(
+        str(p.relative_to(out_dir))
+        for pat in ("*.pb", "*.json.gz")
+        for p in out_dir.rglob(pat)
+    )
     print(f"trace written to {out_dir} ({args.reps} reps of {args.surface})")
-    for name in produced[:5]:
+    for name in produced[:6]:
         print(f"  {name}")
     print("view: tensorboard --logdir", out_dir)
+    if args.top_ops:
+        print_top_ops(out_dir, args.top_ops)
+
+
+def print_top_ops(out_dir: Path, n: int):
+    """Aggregate the Perfetto trace's complete events by name and print the
+    top-N by total duration — enough to rank hotspots without a UI."""
+    import gzip
+    import json
+    from collections import defaultdict
+
+    traces = sorted(out_dir.rglob("*.json.gz"))
+    if not traces:
+        print("no perfetto trace found (pass --perfetto)", file=sys.stderr)
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    total = defaultdict(float)
+    count = defaultdict(int)
+    for ev in events:
+        if ev.get("ph") == "X" and "dur" in ev:
+            total[ev["name"]] += ev["dur"]
+            count[ev["name"]] += 1
+    ranked = sorted(total.items(), key=lambda kv: -kv[1])[:n]
+    width = max((len(k) for k, _ in ranked), default=10)
+    print(f"\ntop {len(ranked)} ops by total device time:")
+    for name, us in ranked:
+        print(f"  {name:<{width}}  {us / 1e3:9.3f} ms  x{count[name]}")
 
 
 if __name__ == "__main__":

@@ -8,6 +8,7 @@ grouped strided convs, MPD 2-D convs, variance-adaptor predictors).
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from sambert_hifigan_tpu.ops.conv import (
@@ -204,11 +205,77 @@ class TestFoldedConv:
             np.asarray(conv1d(x, w, padding=1)),
         )
 
-    def test_indivisible_t_raises(self):
+    def test_indivisible_t_pads_and_trims(self):
+        """T that is not a multiple of fold*stride is right-zero-padded and
+        the output trimmed — exact, because no valid output tap reads past
+        T + padding - 1 (the conv's own implicit zero pad)."""
         from sambert_hifigan_tpu.ops.conv import folded_conv1d
 
-        with pytest.raises(ValueError):
-            folded_conv1d(jnp.ones((1, 10, 8)), jnp.ones((3, 8, 8)), padding=1, fold=4)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((1, 10, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 8, 8)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(folded_conv1d(x, w, padding=1, fold=4)),
+            np.asarray(conv1d(x, w, padding=1)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    @pytest.mark.parametrize(
+        "cin,cout,k,s,g,fold,t",
+        [
+            # the MSD ladder shapes (incl. the odd pooled lengths)
+            (128, 128, 41, 2, 4, 4, 512),
+            (128, 256, 41, 2, 16, 8, 257),
+            (256, 512, 41, 4, 16, 4, 129),
+            (512, 1024, 41, 1, 16, 2, 128),
+            # stride + dilation + groups together, odd T
+            (6, 10, 5, 3, 2, 4, 101),
+        ],
+    )
+    def test_exactness_grouped_strided(self, cin, cout, k, s, g, fold, t):
+        """The generalized fold (stride/groups) is element-exact vs conv1d —
+        the transform the MSD discriminator trains through."""
+        from sambert_hifigan_tpu.ops.conv import folded_conv1d
+
+        rng = np.random.default_rng(cin + cout + k)
+        d = 2 if s == 3 else 1
+        p = get_padding(k, d)
+        x = jnp.asarray(rng.standard_normal((2, t, cin)), jnp.float32)
+        w = jnp.asarray(
+            rng.standard_normal((k, cin // g, cout)) * 0.1, jnp.float32
+        )
+        b = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        plain = np.asarray(
+            conv1d(x, w, b, stride=s, padding=p, dilation=d, groups=g)
+        )
+        folded = np.asarray(
+            folded_conv1d(
+                x, w, b, stride=s, padding=p, dilation=d, groups=g, fold=fold
+            )
+        )
+        assert folded.shape == plain.shape
+        np.testing.assert_allclose(folded, plain, rtol=1e-4, atol=1e-4)
+
+    def test_grouped_strided_grads_match(self):
+        """Autodiff through the folded formulation produces the same w/x
+        gradients as the plain conv (the property the GAN train step needs)."""
+        from sambert_hifigan_tpu.ops.conv import folded_conv1d
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((2, 64, 16)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((41, 4, 32)) * 0.1, jnp.float32)
+
+        def loss_plain(w_, x_):
+            return jnp.sum(jnp.square(conv1d(x_, w_, stride=2, padding=20, groups=4)))
+
+        def loss_fold(w_, x_):
+            return jnp.sum(jnp.square(folded_conv1d(
+                x_, w_, stride=2, padding=20, groups=4, fold=4)))
+
+        gw_p, gx_p = jax.grad(loss_plain, argnums=(0, 1))(w, x)
+        gw_f, gx_f = jax.grad(loss_fold, argnums=(0, 1))(w, x)
+        np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_p), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_p), rtol=2e-4, atol=2e-4)
 
 
 class TestFoldedConvTranspose:
