@@ -89,6 +89,11 @@ def main():
     from sambert_hifigan_tpu.models.hifigan import HiFiGAN
     from sambert_hifigan_tpu.parallel.mesh import create_mesh, replicate, shard_batch
     from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
+    from sambert_hifigan_tpu.training.signals import (
+        GracefulShutdown,
+        TrainingDiverged,
+        check_finite_metrics,
+    )
     from sambert_hifigan_tpu.training.metrics import MetricsWriter
     from sambert_hifigan_tpu.training.vocoder_trainer import (
         init_vocoder_state,
@@ -169,17 +174,43 @@ def main():
         batches = Prefetcher(batches, transfer=put)
     else:
         batches = map(put, batches)
-    for i in range(start_step, total_steps):
-        mel, wav = next(batches)
-        state, metrics = step_fn(state, mel, wav)
-        if (i + 1) % log_interval == 0 or i == start_step:
-            host = writer.write(i + 1, metrics)
-            print(writer.summary_line(i + 1, host,
-                                      ["gen_loss", "gen_mel_loss", "disc_loss"]))
-        if (i + 1) % save_interval == 0:
-            ckpt.save(i + 1, jax.device_get(state))
-    if isinstance(batches, Prefetcher):
-        batches.close()
+    # SIGTERM/SIGINT (pod preemption, Ctrl-C) -> finish the step, save,
+    # exit resumable; non-finite logged metrics -> emergency save + abort
+    # (training/signals.py — the reference has no failure handling at all).
+    shutdown = GracefulShutdown()
+    last_step = start_step
+    try:
+        for i in range(start_step, total_steps):
+            if shutdown.requested:
+                break
+            mel, wav = next(batches)
+            state, metrics = step_fn(state, mel, wav)
+            last_step = i + 1
+            if (i + 1) % log_interval == 0 or i == start_step:
+                host = writer.write(i + 1, metrics)
+                check_finite_metrics(host, i + 1)
+                print(writer.summary_line(i + 1, host,
+                                          ["gen_loss", "gen_mel_loss", "disc_loss"]))
+            if (i + 1) % save_interval == 0:
+                ckpt.save(i + 1, jax.device_get(state))
+    except TrainingDiverged as e:
+        if ckpt.latest_step() != last_step:
+            ckpt.save(last_step, jax.device_get(state))
+        writer.close()
+        raise SystemExit(
+            f"[train_vocoder] DIVERGED: {e}; state saved at step {last_step} "
+            f"in {ckpt_dir} for forensics"
+        )
+    finally:
+        if isinstance(batches, Prefetcher):
+            batches.close()
+    if shutdown.requested:
+        if ckpt.latest_step() != last_step:
+            ckpt.save(last_step, jax.device_get(state))
+        writer.close()
+        print(f"[train_vocoder] interrupted at step {last_step}; "
+              f"resumable checkpoint in {ckpt_dir} (--resume)")
+        return
     if ckpt.latest_step() != total_steps:  # interval save may already cover it
         ckpt.save(total_steps, jax.device_get(state))
     writer.close()  # flush buffered TensorBoard events (the tail of the run)
