@@ -59,6 +59,9 @@ def parse_args():
     p.add_argument("--max-frames", type=int, default=512)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true",
+                   help="shrink model configs (CI smoke: exercises the "
+                        "capture path without full-size compiles)")
     p.add_argument("--perfetto", action="store_true",
                    help="also write a Perfetto trace.json.gz (machine-"
                         "parseable op timeline, loadable at ui.perfetto.dev)")
@@ -75,6 +78,34 @@ def build_surface(args):
     from sambert_hifigan_tpu.config import TTSConfig
 
     cfg = TTSConfig()
+    if args.tiny:
+        import dataclasses as _dc
+
+        from sambert_hifigan_tpu.config import (
+            AcousticModelConfig,
+            DecoderConfig,
+            DiscriminatorConfig,
+            EncoderConfig,
+            GeneratorConfig,
+            VocoderConfig,
+        )
+
+        cfg = _dc.replace(
+            cfg,
+            acoustic_model=AcousticModelConfig(
+                d_model=32,
+                encoder=EncoderConfig(n_layers=1, n_heads=4, d_ff=64),
+                decoder=DecoderConfig(n_layers=1, n_heads=4, d_ff=64, max_len=128),
+            ),
+            vocoder=VocoderConfig(
+                generator=GeneratorConfig(
+                    upsample_initial_channel=32,
+                    resblock_kernel_sizes=(3,),
+                    resblock_dilation_sizes=((1, 3),),
+                ),
+                discriminator=DiscriminatorConfig(channel_div=16),
+            ),
+        )
 
     if args.surface in ("e2e", "decode", "vocoder"):
         from sambert_hifigan_tpu.pipeline import build_pipeline_from_random_init

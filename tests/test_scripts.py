@@ -86,7 +86,7 @@ class TestProfile:
         warmed surface (the TPU-native replacement for the reference's
         print-based shape logging, SURVEY 5.1)."""
         out = tmp_path / "prof"
-        r = _run(["scripts/profile.py", "--surface", "vocoder",
+        r = _run(["scripts/profile.py", "--surface", "vocoder", "--tiny",
                   "--max-frames", "16", "--reps", "1",
                   "--output", str(out)])
         assert r.returncode == 0, r.stderr[-2000:]
