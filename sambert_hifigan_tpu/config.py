@@ -167,6 +167,26 @@ class TrainStageConfig:
     beta1: float = 0.9
     beta2: float = 0.999
     weight_decay: float = 0.01
+    # Learning-rate schedule (training/optim.py).  The reference's demos use
+    # constant rates (demo_ablation_modes.py:71-78) — that stays the default;
+    # "exponential" is the official HiFi-GAN recipe (lr *= gamma every
+    # lr_decay_steps), "warmup_cosine" ramps over warmup_steps then decays to
+    # lr * lr_end_ratio at lr_total_steps.
+    lr_schedule: str = "constant"  # constant | exponential | warmup_cosine
+    lr_decay_gamma: float = 0.999
+    lr_decay_steps: int = 1000
+    warmup_steps: int = 0
+    lr_total_steps: int = 200_000
+    lr_end_ratio: float = 0.05
+    # Exponential moving average of the trained parameters (generator /
+    # acoustic model), updated inside the jitted step and carried in the
+    # train state; inference and eval prefer the EMA copy when present.
+    # 0 = off (the reference has no parameter averaging).
+    ema_decay: float = 0.0
+    # Gradient accumulation: average k micro-batch gradients into ONE
+    # optimizer update (optax.MultiSteps) — effective batch k x batch_size
+    # at constant HBM.  1 = off.
+    accumulate_steps: int = 1
     # Scheduled sampling ratio for the AR decoder (acoustic stage only; the
     # reference trains pure teacher forcing - its unimplemented trainer has no
     # such knob).  p > 0 mixes the model's OWN pass-1 predictions into the
@@ -412,6 +432,16 @@ def validate_config(cfg: TTSConfig) -> None:
         raise ConfigError("d_model must be divisible by encoder n_heads")
     if cfg.acoustic_model.d_model % cfg.acoustic_model.decoder.n_heads != 0:
         raise ConfigError("d_model must be divisible by decoder n_heads")
+    for name, tr in (("acoustic", cfg.training.acoustic), ("vocoder", cfg.training.vocoder)):
+        if tr.lr_schedule not in ("constant", "exponential", "warmup_cosine"):
+            raise ConfigError(
+                f"training.{name}.lr_schedule '{tr.lr_schedule}' invalid; "
+                "expected constant | exponential | warmup_cosine"
+            )
+        if not 0.0 <= tr.ema_decay < 1.0:
+            raise ConfigError(f"training.{name}.ema_decay must be in [0, 1)")
+        if tr.accumulate_steps < 1:
+            raise ConfigError(f"training.{name}.accumulate_steps must be >= 1")
 
 
 def mel_config_fingerprint(a: AudioConfig) -> Tuple:

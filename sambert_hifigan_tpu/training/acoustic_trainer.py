@@ -17,10 +17,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..config import LossWeights, TTSConfig
+from ..config import LossWeights, TTSConfig, TrainStageConfig
 from ..losses.acoustic import acoustic_loss
 from ..models.acoustic_model import SAMBERTAcousticModel
 from ..parallel.mesh import batch_sharding, replicated_sharding
+from .optim import build_optimizer, current_lr, ema_update, maybe_init_ema
 from .train_state import AcousticTrainState
 
 
@@ -36,16 +37,9 @@ def cast_floats(tree, dtype):
 
 
 def make_acoustic_optimizer(cfg: TTSConfig) -> optax.GradientTransformation:
-    tr = cfg.training.acoustic
-    chain = []
-    if tr.gradient_clip is not None:
-        chain.append(optax.clip_by_global_norm(tr.gradient_clip))
-    chain.append(
-        optax.adamw(
-            tr.learning_rate, b1=tr.beta1, b2=tr.beta2, weight_decay=tr.weight_decay
-        )
-    )
-    return optax.chain(*chain)
+    # clip -> AdamW(schedule), MultiSteps-wrapped when accumulating
+    # (training/optim.py; reference recipe = constant lr, no averaging).
+    return build_optimizer(cfg.training.acoustic)
 
 
 def init_acoustic_state(
@@ -62,8 +56,16 @@ def init_acoustic_state(
     params = model.init(rng, ph, ph, ph, mel, dur)
     opt = make_acoustic_optimizer(cfg)
     return AcousticTrainState(
-        params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32)
+        params=params,
+        opt_state=opt.init(params),
+        step=jnp.zeros((), jnp.int32),
+        ema_params=maybe_init_ema(cfg.training.acoustic, params),
     )
+
+
+def acoustic_inference_params(state: AcousticTrainState):
+    """Parameters for inference/eval — the EMA copy when present."""
+    return state.params if state.ema_params is None else state.ema_params
 
 
 def acoustic_train_step(
@@ -76,6 +78,7 @@ def acoustic_train_step(
     weights: LossWeights = LossWeights(),
     scheduled_sampling: float = 0.0,
     mixed_precision: bool = False,
+    stage: TrainStageConfig = TrainStageConfig(),
 ) -> Tuple[AcousticTrainState, Dict[str, jnp.ndarray]]:
     """batch keys: ph_ids, tone_ids, boundary_ids [B, Tph] int32;
     dur_gt [B, Tph] int32; mel_gt [B, maxF, n_mels]; pitch_gt, energy_gt
@@ -148,8 +151,17 @@ def acoustic_train_step(
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     metrics["grad_norm"] = optax.global_norm(grads)
+    metrics["lr"] = current_lr(stage, state.step)
+    ema_params = state.ema_params
+    if ema_params is not None:
+        ema_params = ema_update(ema_params, params, stage.ema_decay)
     return (
-        AcousticTrainState(params=params, opt_state=opt_state, step=state.step + 1),
+        AcousticTrainState(
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            ema_params=ema_params,
+        ),
         metrics,
     )
 
@@ -162,6 +174,7 @@ def make_jitted_acoustic_step(
         acoustic_train_step, model=model, opt=opt, weights=cfg.loss_weights,
         scheduled_sampling=cfg.training.acoustic.scheduled_sampling,
         mixed_precision=cfg.training.acoustic.mixed_precision,
+        stage=cfg.training.acoustic,
     )
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))

@@ -11,14 +11,30 @@ reference: README.md:175-190).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 from pathlib import Path
 from typing import Any, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from ..config import AudioConfig, ConfigError, mel_config_fingerprint
+
+# EMA leaf -> the parameter tree it averages (training/optim.py).  Used to
+# reconcile EMA presence between a checkpoint and the resume target, so
+# turning --ema-decay on/off across a resume never structure-mismatches.
+_EMA_SOURCES = {"ema_params": "params", "g_ema_params": "g_params"}
+
+
+def _ema_field(target: Any) -> Optional[str]:
+    if dataclasses.is_dataclass(target):
+        names = {f.name for f in dataclasses.fields(target)}
+        for n in _EMA_SOURCES:
+            if n in names:
+                return n
+    return None
 
 
 class CheckpointManager:
@@ -45,6 +61,9 @@ class CheckpointManager:
             "step": int(step),
             "mel_fingerprint": list(map(str, mel_config_fingerprint(self.audio))),
         }
+        field = _ema_field(state)
+        if field is not None:
+            meta["ema"] = getattr(state, field) is not None
         (path / "meta.json").write_text(json.dumps(meta))
         self._gc()
 
@@ -82,6 +101,29 @@ class CheckpointManager:
                 f"{meta['mel_fingerprint']} vs current {want}. Refusing to "
                 "resume (mel consistency invariant)."
             )
+        field = _ema_field(target)
+        ckpt_ema = bool(meta.get("ema", False))
+        tgt_ema = field is not None and getattr(target, field) is not None
+        if field is not None and tgt_ema != ckpt_ema:
+            src = _EMA_SOURCES[field]
+            if ckpt_ema:
+                # checkpoint carries an EMA copy but the resume config turned
+                # it off: restore with a matching structure, then drop it.
+                shaped = dataclasses.replace(
+                    target, **{field: getattr(target, src)}
+                )
+                abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, shaped)
+                state = self._ckptr.restore(path / "state", abstract)
+                state = dataclasses.replace(state, **{field: None})
+            else:
+                # EMA newly enabled on a pre-EMA checkpoint: restore without
+                # it and seed the average from the restored parameters.
+                bare = dataclasses.replace(target, **{field: None})
+                abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, bare)
+                state = self._ckptr.restore(path / "state", abstract)
+                seed = jax.tree.map(jnp.array, getattr(state, src))
+                state = dataclasses.replace(state, **{field: seed})
+            return state, step
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
         state = self._ckptr.restore(path / "state", abstract)
         return state, step

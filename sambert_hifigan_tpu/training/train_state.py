@@ -13,6 +13,10 @@ class AcousticTrainState:
     params: Any
     opt_state: Any
     step: jnp.ndarray  # scalar int32
+    # EMA copy of params (training/optim.py); None when ema_decay == 0 —
+    # a None subtree has no leaves, so default-recipe checkpoints keep the
+    # exact pre-EMA structure.
+    ema_params: Any = None
 
 
 @flax.struct.dataclass
@@ -25,3 +29,5 @@ class VocoderTrainState:
     g_opt_state: Any
     d_opt_state: Any
     step: jnp.ndarray
+    # EMA of the generator only (discriminators are discarded at inference).
+    g_ema_params: Any = None

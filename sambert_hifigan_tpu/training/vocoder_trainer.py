@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..config import AudioConfig, LossWeights, TTSConfig
+from ..config import AudioConfig, LossWeights, TTSConfig, TrainStageConfig
 from ..losses.vocoder import (
     should_train_discriminator,
     vocoder_discriminator_loss,
@@ -43,18 +43,16 @@ from ..losses.vocoder import (
 from ..models.hifigan import HiFiGAN
 from ..parallel.mesh import batch_sharding, replicated_sharding
 from .acoustic_trainer import cast_floats
+from .optim import build_optimizer, current_lr, ema_update, maybe_init_ema
 from .train_state import VocoderTrainState
 
 
 def make_vocoder_optimizers(cfg: TTSConfig):
+    # Both sides get the stage's schedule/clip/accumulation (training/optim.py);
+    # D keeps its separate base rate (GAN hygiene).
     tr = cfg.training.vocoder
-    g_opt = optax.adamw(
-        tr.learning_rate, b1=tr.beta1, b2=tr.beta2, weight_decay=tr.weight_decay
-    )
-    d_lr = tr.learning_rate_discriminator or tr.learning_rate
-    d_opt = optax.adamw(
-        d_lr, b1=tr.beta1, b2=tr.beta2, weight_decay=tr.weight_decay
-    )
+    g_opt = build_optimizer(tr)
+    d_opt = build_optimizer(tr, base_lr=tr.learning_rate_discriminator or tr.learning_rate)
     return g_opt, d_opt
 
 
@@ -73,7 +71,15 @@ def init_vocoder_state(
         g_opt_state=g_opt.init(g_params),
         d_opt_state=d_opt.init(d_params),
         step=jnp.zeros((), jnp.int32),
+        g_ema_params=maybe_init_ema(cfg.training.vocoder, g_params),
     )
+
+
+def generator_inference_params(state: VocoderTrainState) -> dict:
+    """The generator parameter subtree for inference/eval — the EMA copy when
+    the state carries one (training/optim.py), else the raw trained params."""
+    src = state.g_ema_params if state.g_ema_params is not None else state.g_params
+    return {"params": src["params"]["generator"]}
 
 
 def _discriminate(model: HiFiGAN, d_params, wav_real, wav_fake):
@@ -97,6 +103,7 @@ def vocoder_train_step(
     weights: LossWeights = LossWeights(),
     mixed_precision: bool = False,
     d_update_every: int = 1,
+    stage: TrainStageConfig = TrainStageConfig(),
 ) -> Tuple[VocoderTrainState, Dict[str, jnp.ndarray]]:
     metrics: Dict[str, jnp.ndarray] = {}
     train_d = should_train_discriminator(loss_mode)
@@ -170,8 +177,12 @@ def vocoder_train_step(
     g_params = optax.apply_updates(state.g_params, g_updates)
     metrics.update(g_metrics)
     metrics["g_grad_norm"] = optax.global_norm(g_grads)
+    metrics["lr"] = current_lr(stage, state.step)
     if not train_d:
         metrics["d_grad_norm"] = jnp.zeros((), jnp.float32)
+    g_ema = state.g_ema_params
+    if g_ema is not None:
+        g_ema = ema_update(g_ema, g_params, stage.ema_decay)
 
     new_state = VocoderTrainState(
         g_params=g_params,
@@ -179,6 +190,7 @@ def vocoder_train_step(
         g_opt_state=g_opt_state,
         d_opt_state=d_opt_state,
         step=state.step + 1,
+        g_ema_params=g_ema,
     )
     return new_state, metrics
 
@@ -202,6 +214,7 @@ def make_jitted_vocoder_step(
         weights=cfg.loss_weights,
         mixed_precision=cfg.training.vocoder.mixed_precision,
         d_update_every=cfg.training.vocoder.d_update_every,
+        stage=cfg.training.vocoder,
     )
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))

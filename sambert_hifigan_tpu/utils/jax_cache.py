@@ -13,21 +13,61 @@ SAMBERT_JAX_CACHE=0; relocate with SAMBERT_JAX_CACHE_DIR.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".jax_cache")
 
 
+def _host_key() -> str:
+    """Fingerprint of this host's CPU capabilities.
+
+    XLA:CPU caches AOT-compiled executables keyed only by the HLO — an
+    artifact compiled on a host with different ISA features (e.g.
+    avx512 subsets) fails to deserialize with a 'machine feature not
+    supported' error on every load and forces a slow fallback.  Keying the
+    CPU-backend cache directory on the host's CPU flags keeps each
+    machine's artifacts separate, so moving the repo between hosts never
+    poisons the cache.  TPU artifacts are ISA-independent serialized PJRT
+    executables, so the TPU cache stays at the shared top level (keeping
+    the expensive tunnel-compiled training graphs warm across hosts)."""
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{platform.machine()}|{flags}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:12]
+
+
+def _cpu_backend_selected() -> bool:
+    """True when this process will compile with XLA:CPU (the only backend
+    whose cached artifacts are host-ISA-specific)."""
+    import jax
+
+    plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    first = plats.split(",")[0].strip().lower() if plats else ""
+    return first == "cpu" or os.environ.get("SAMBERT_FORCE_CPU") == "1"
+
+
 def enable(cache_dir: str | None = None) -> bool:
-    """Turn on the persistent compilation cache. Returns True if enabled."""
+    """Turn on the persistent compilation cache. Returns True if enabled.
+
+    Safe to call again after changing the platform (e.g. the multichip
+    dryrun forces CPU after import): the cache dir is re-pointed."""
     if os.environ.get("SAMBERT_JAX_CACHE", "1") == "0":
         return False
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        cache_dir or os.environ.get("SAMBERT_JAX_CACHE_DIR", DEFAULT_DIR),
-    )
+    base = cache_dir or os.environ.get("SAMBERT_JAX_CACHE_DIR", DEFAULT_DIR)
+    if _cpu_backend_selected():
+        base = os.path.join(base, "cpu-" + _host_key())
+    jax.config.update("jax_compilation_cache_dir", base)
     # cache everything that takes >1s to compile, regardless of size
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

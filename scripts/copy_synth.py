@@ -37,7 +37,10 @@ def main():
     from sambert_hifigan_tpu.models.hifigan import HiFiGAN
     from sambert_hifigan_tpu.pipeline import TTSPipeline
     from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
-    from sambert_hifigan_tpu.training.vocoder_trainer import init_vocoder_state
+    from sambert_hifigan_tpu.training.vocoder_trainer import (
+        generator_inference_params,
+        init_vocoder_state,
+    )
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--metadata", type=str, required=True)
@@ -57,7 +60,7 @@ def main():
         args.vocoder_checkpoint, cfg.audio
     ).restore(voc_state, step=args.vocoder_step)
     print(f"vocoder checkpoint step {voc_step}")
-    gen_params = {"params": voc_state.g_params["params"]["generator"]}
+    gen_params = generator_inference_params(voc_state)
     # acoustic params unused for vocode(); pass generator params to satisfy
     # the constructor without restoring an acoustic checkpoint
     pipe = TTSPipeline(cfg, None, gen_params)

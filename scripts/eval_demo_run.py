@@ -49,9 +49,15 @@ def main():
     from sambert_hifigan_tpu.models.acoustic_model import SAMBERTAcousticModel
     from sambert_hifigan_tpu.models.hifigan import HiFiGAN
     from sambert_hifigan_tpu.pipeline import TTSPipeline
-    from sambert_hifigan_tpu.training.acoustic_trainer import init_acoustic_state
+    from sambert_hifigan_tpu.training.acoustic_trainer import (
+        acoustic_inference_params,
+        init_acoustic_state,
+    )
     from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
-    from sambert_hifigan_tpu.training.vocoder_trainer import init_vocoder_state
+    from sambert_hifigan_tpu.training.vocoder_trainer import (
+        generator_inference_params,
+        init_vocoder_state,
+    )
     from sambert_hifigan_tpu.utils.eval_metrics import mcd, mel_mae, mel_mae_dtw
 
     p = argparse.ArgumentParser(description=__doc__)
@@ -82,8 +88,8 @@ def main():
         voc_state, step=args.vocoder_step
     )
     print(f"checkpoints: acoustic step {ac_step}, vocoder step {voc_step}")
-    gen_params = {"params": voc_state.g_params["params"]["generator"]}
-    pipe = TTSPipeline(cfg, ac_state.params, gen_params)
+    gen_params = generator_inference_params(voc_state)
+    pipe = TTSPipeline(cfg, acoustic_inference_params(ac_state), gen_params)
 
     copy_mae, copy_mcd, tts_mae, tts_mcd = [], [], [], []
     for utt in ds.utterances[: args.n]:

@@ -64,9 +64,15 @@ def main():
         TTSPipeline,
         build_pipeline_from_random_init,
     )
-    from sambert_hifigan_tpu.training.acoustic_trainer import init_acoustic_state
+    from sambert_hifigan_tpu.training.acoustic_trainer import (
+        acoustic_inference_params,
+        init_acoustic_state,
+    )
     from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
-    from sambert_hifigan_tpu.training.vocoder_trainer import init_vocoder_state
+    from sambert_hifigan_tpu.training.vocoder_trainer import (
+        generator_inference_params,
+        init_vocoder_state,
+    )
 
     args = parse_args()
     cfg = (
@@ -90,8 +96,8 @@ def main():
                 args.vocoder_checkpoint, cfg.audio
             ).restore(voc_state)
             print(f"[inference] vocoder checkpoint step {step}")
-        gen_params = {"params": voc_state.g_params["params"]["generator"]}
-        pipe = TTSPipeline(cfg, ac_state.params, gen_params)
+        gen_params = generator_inference_params(voc_state)
+        pipe = TTSPipeline(cfg, acoustic_inference_params(ac_state), gen_params)
     else:
         print("[inference] no checkpoints given - using random weights")
         pipe = build_pipeline_from_random_init(cfg, seed=args.seed)

@@ -193,9 +193,15 @@ def main():
     from sambert_hifigan_tpu.models.hifigan import HiFiGAN
     from sambert_hifigan_tpu.pipeline import TTSPipeline
     from sambert_hifigan_tpu.serving import DynamicBatcher
-    from sambert_hifigan_tpu.training.acoustic_trainer import init_acoustic_state
+    from sambert_hifigan_tpu.training.acoustic_trainer import (
+        acoustic_inference_params,
+        init_acoustic_state,
+    )
     from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
-    from sambert_hifigan_tpu.training.vocoder_trainer import init_vocoder_state
+    from sambert_hifigan_tpu.training.vocoder_trainer import (
+        generator_inference_params,
+        init_vocoder_state,
+    )
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--acoustic-checkpoint", type=str, required=True)
@@ -219,7 +225,7 @@ def main():
     voc_state = init_vocoder_state(HiFiGAN(cfg.vocoder), cfg, jax.random.PRNGKey(0))
     voc_state, _ = CheckpointManager(args.vocoder_checkpoint, cfg.audio).restore(voc_state)
     pipe = TTSPipeline(
-        cfg, ac_state.params, {"params": voc_state.g_params["params"]["generator"]}
+        cfg, acoustic_inference_params(ac_state), generator_inference_params(voc_state)
     )
     if args.warmup:
         print("warmup: compiling common buckets...")

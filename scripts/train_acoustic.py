@@ -63,7 +63,30 @@ def parse_args():
                    help="per-frame probability of feeding the decoder its own "
                         "pass-1 prediction instead of ground truth (two-pass "
                         "scheduled sampling; default 0 = pure teacher forcing)")
+    p.add_argument("--lr-schedule", type=str, default=None,
+                   choices=["constant", "exponential", "warmup_cosine"],
+                   help="learning-rate schedule (training/optim.py)")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="EMA decay for the model parameters (0 = off; "
+                        "inference/eval prefer the EMA copy when present)")
+    p.add_argument("--accumulate-steps", type=int, default=None,
+                   help="average k micro-batch gradients into one optimizer "
+                        "update (effective batch k x batch-size)")
     return p.parse_args()
+
+
+def stage_overrides(tr, args):
+    """Apply the shared optimizer-knob CLI overrides to a TrainStageConfig."""
+    import dataclasses as _dc
+
+    for field, val in (
+        ("lr_schedule", args.lr_schedule),
+        ("ema_decay", args.ema_decay),
+        ("accumulate_steps", args.accumulate_steps),
+    ):
+        if val is not None:
+            tr = _dc.replace(tr, **{field: val})
+    return tr
 
 
 def main():
@@ -90,19 +113,13 @@ def main():
         if args.config
         else default_config()
     )
-    if args.scheduled_sampling is not None:
-        import dataclasses as _dc
+    import dataclasses as _dc
 
-        cfg = _dc.replace(
-            cfg,
-            training=_dc.replace(
-                cfg.training,
-                acoustic=_dc.replace(
-                    cfg.training.acoustic,
-                    scheduled_sampling=args.scheduled_sampling,
-                ),
-            ),
-        )
+    ac_tr = stage_overrides(cfg.training.acoustic, args)
+    if args.scheduled_sampling is not None:
+        ac_tr = _dc.replace(ac_tr, scheduled_sampling=args.scheduled_sampling)
+    if ac_tr is not cfg.training.acoustic:
+        cfg = _dc.replace(cfg, training=_dc.replace(cfg.training, acoustic=ac_tr))
     batch_size = args.batch_size or cfg.training.acoustic.batch_size
     mesh = create_mesh(model=args.model_parallel)
     n_dev = int(mesh.shape["data"])

@@ -57,6 +57,17 @@ def parse_args():
                    help="discriminator learning rate override (GAN hygiene)")
     p.add_argument("--d-update-every", type=int, default=None,
                    help="update D every k-th step (GAN hygiene; default 1)")
+    p.add_argument("--lr-schedule", type=str, default=None,
+                   choices=["constant", "exponential", "warmup_cosine"],
+                   help="learning-rate schedule for BOTH sides "
+                        "(training/optim.py; exponential = the official "
+                        "HiFi-GAN recipe)")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="EMA decay for the generator parameters (0 = off; "
+                        "inference/eval prefer the EMA copy when present)")
+    p.add_argument("--accumulate-steps", type=int, default=None,
+                   help="average k micro-batch gradients into one optimizer "
+                        "update (effective batch k x batch-size)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="run N steps on synthetic data (smoke test)")
     p.add_argument("--prefetch", choices=["auto", "on", "off"], default="auto",
@@ -107,14 +118,19 @@ def main():
         else default_config()
     )
     loss_mode = args.loss_mode or cfg.vocoder.loss_mode
-    if args.d_lr is not None or args.d_update_every is not None:
-        import dataclasses as _dc
+    import dataclasses as _dc
 
-        voc_tr = cfg.training.vocoder
-        if args.d_lr is not None:
-            voc_tr = _dc.replace(voc_tr, learning_rate_discriminator=args.d_lr)
-        if args.d_update_every is not None:
-            voc_tr = _dc.replace(voc_tr, d_update_every=args.d_update_every)
+    voc_tr = cfg.training.vocoder
+    for field, val in (
+        ("learning_rate_discriminator", args.d_lr),
+        ("d_update_every", args.d_update_every),
+        ("lr_schedule", args.lr_schedule),
+        ("ema_decay", args.ema_decay),
+        ("accumulate_steps", args.accumulate_steps),
+    ):
+        if val is not None:
+            voc_tr = _dc.replace(voc_tr, **{field: val})
+    if voc_tr is not cfg.training.vocoder:
         cfg = _dc.replace(
             cfg, training=_dc.replace(cfg.training, vocoder=voc_tr)
         )
