@@ -50,17 +50,25 @@ def init_acoustic_state(
     max_frames: int = 64,
     batch: int = 1,
 ) -> AcousticTrainState:
-    ph = jnp.zeros((batch, tph), jnp.int32)
-    mel = jnp.zeros((batch, max_frames, cfg.acoustic_model.n_mels))
-    dur = jnp.ones((batch, tph), jnp.int32)
-    params = model.init(rng, ph, ph, ph, mel, dur)
     opt = make_acoustic_optimizer(cfg)
-    return AcousticTrainState(
-        params=params,
-        opt_state=opt.init(params),
-        step=jnp.zeros((), jnp.int32),
-        ema_params=maybe_init_ema(cfg.training.acoustic, params),
-    )
+
+    # One jitted program for the whole init instead of hundreds of eager
+    # per-op dispatches (flax init outside jit compiles every conv/norm as
+    # its own tiny XLA program — measured ~8 min of sub-second compiles on a
+    # 1-core host; jitted + persistently cached it is one program).
+    def _init(rng) -> AcousticTrainState:
+        ph = jnp.zeros((batch, tph), jnp.int32)
+        mel = jnp.zeros((batch, max_frames, cfg.acoustic_model.n_mels))
+        dur = jnp.ones((batch, tph), jnp.int32)
+        params = model.init(rng, ph, ph, ph, mel, dur)
+        return AcousticTrainState(
+            params=params,
+            opt_state=opt.init(params),
+            step=jnp.zeros((), jnp.int32),
+            ema_params=maybe_init_ema(cfg.training.acoustic, params),
+        )
+
+    return jax.jit(_init)(rng)
 
 
 def acoustic_inference_params(state: AcousticTrainState):

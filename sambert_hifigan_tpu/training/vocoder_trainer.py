@@ -59,20 +59,28 @@ def make_vocoder_optimizers(cfg: TTSConfig):
 def init_vocoder_state(
     model: HiFiGAN, cfg: TTSConfig, rng, mel_frames: int = 32, batch: int = 1
 ) -> VocoderTrainState:
-    mel = jnp.zeros((batch, cfg.audio.n_mels, mel_frames))
-    variables = model.init(rng, mel, method=HiFiGAN.init_all)
-    params = variables["params"]
-    g_params = {"params": {"generator": params["generator"]}}
-    d_params = {"params": {"msd": params["msd"], "mpd": params["mpd"]}}
     g_opt, d_opt = make_vocoder_optimizers(cfg)
-    return VocoderTrainState(
-        g_params=g_params,
-        d_params=d_params,
-        g_opt_state=g_opt.init(g_params),
-        d_opt_state=d_opt.init(d_params),
-        step=jnp.zeros((), jnp.int32),
-        g_ema_params=maybe_init_ema(cfg.training.vocoder, g_params),
-    )
+
+    # Jitted whole-state init: G + 8 discriminators initialized eagerly is
+    # hundreds of tiny per-op XLA compiles (the dominant cost of cold starts
+    # on slow hosts); as one jitted program it compiles once and rides the
+    # persistent cache (see acoustic_trainer.init_acoustic_state).
+    def _init(rng) -> VocoderTrainState:
+        mel = jnp.zeros((batch, cfg.audio.n_mels, mel_frames))
+        variables = model.init(rng, mel, method=HiFiGAN.init_all)
+        params = variables["params"]
+        g_params = {"params": {"generator": params["generator"]}}
+        d_params = {"params": {"msd": params["msd"], "mpd": params["mpd"]}}
+        return VocoderTrainState(
+            g_params=g_params,
+            d_params=d_params,
+            g_opt_state=g_opt.init(g_params),
+            d_opt_state=d_opt.init(d_params),
+            step=jnp.zeros((), jnp.int32),
+            g_ema_params=maybe_init_ema(cfg.training.vocoder, g_params),
+        )
+
+    return jax.jit(_init)(rng)
 
 
 def generator_inference_params(state: VocoderTrainState) -> dict:

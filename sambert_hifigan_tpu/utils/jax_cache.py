@@ -68,7 +68,15 @@ def enable(cache_dir: str | None = None) -> bool:
     if _cpu_backend_selected():
         base = os.path.join(base, "cpu-" + _host_key())
     jax.config.update("jax_compilation_cache_dir", base)
-    # cache everything that takes >1s to compile, regardless of size
+    # Cache EVERY compile, even sub-second ones: a cold process issues
+    # hundreds of small dispatch-level compiles (measured: ~800 sub-1s
+    # compiles per multichip dryrun at ~0.3s each on a 1-core host — minutes
+    # of wall clock that a >=1s threshold silently re-pays every run).
+    # Disk growth is bounded by the LRU cap below.
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        jax.config.update("jax_compilation_cache_max_size", 4 * 1024**3)
+    except AttributeError:  # older jax without the LRU knob
+        pass
     return True
