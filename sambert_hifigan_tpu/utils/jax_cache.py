@@ -72,11 +72,11 @@ def enable(cache_dir: str | None = None) -> bool:
     # hundreds of small dispatch-level compiles (measured: ~800 sub-1s
     # compiles per multichip dryrun at ~0.3s each on a 1-core host — minutes
     # of wall clock that a >=1s threshold silently re-pays every run).
-    # Disk growth is bounded by the LRU cap below.
+    # Growth is modest (tens of MB of small entries on top of the big train
+    # graphs) and NOT LRU-capped: jax's lru_cache layer tracks entries with
+    # `-atime` sentinel files, and capping a directory that already holds
+    # cap-less entries makes every subsequent write fail with
+    # FileNotFoundError on the missing sentinel (observed on this image).
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    try:
-        jax.config.update("jax_compilation_cache_max_size", 4 * 1024**3)
-    except AttributeError:  # older jax without the LRU knob
-        pass
     return True
