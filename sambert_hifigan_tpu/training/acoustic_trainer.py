@@ -21,7 +21,7 @@ from ..config import LossWeights, TTSConfig, TrainStageConfig
 from ..losses.acoustic import acoustic_loss
 from ..models.acoustic_model import SAMBERTAcousticModel
 from ..parallel.mesh import batch_sharding, replicated_sharding
-from .optim import build_optimizer, current_lr, ema_update, maybe_init_ema
+from .optim import build_optimizer, current_lr, ema_update
 from .train_state import AcousticTrainState
 
 
@@ -49,8 +49,14 @@ def init_acoustic_state(
     tph: int = 16,
     max_frames: int = 64,
     batch: int = 1,
+    ema: "bool | None" = None,
 ) -> AcousticTrainState:
+    """`ema` overrides the config's ema_decay>0 decision for whether the
+    state carries an ema_params slot — inference/eval CLIs pass
+    CheckpointManager.has_ema() so the restore target matches the
+    checkpoint's structure."""
     opt = make_acoustic_optimizer(cfg)
+    want_ema = (cfg.training.acoustic.ema_decay > 0.0) if ema is None else ema
 
     # One jitted program for the whole init instead of hundreds of eager
     # per-op dispatches (flax init outside jit compiles every conv/norm as
@@ -65,7 +71,7 @@ def init_acoustic_state(
             params=params,
             opt_state=opt.init(params),
             step=jnp.zeros((), jnp.int32),
-            ema_params=maybe_init_ema(cfg.training.acoustic, params),
+            ema_params=jax.tree.map(jnp.array, params) if want_ema else None,
         )
 
     return jax.jit(_init)(rng)
@@ -74,6 +80,13 @@ def init_acoustic_state(
 def acoustic_inference_params(state: AcousticTrainState):
     """Parameters for inference/eval — the EMA copy when present."""
     return state.params if state.ema_params is None else state.ema_params
+
+
+def acoustic_params_from_tree(tree: dict, prefer_ema: bool = True):
+    """Same selection from a CheckpointManager.restore_tree() dict (the
+    optimizer-agnostic CLI restore path)."""
+    ema = tree.get("ema_params") if prefer_ema else None
+    return ema if ema is not None else tree["params"]
 
 
 def acoustic_train_step(

@@ -85,9 +85,19 @@ class CheckpointManager:
         steps = self.all_steps()
         return steps[-1] if steps else None
 
-    def restore(self, target: Any, step: Optional[int] = None) -> Tuple[Any, int]:
-        """Restore into the structure of `target` (an abstract or concrete
-        state pytree).  Validates the mel fingerprint."""
+    def has_ema(self, step: Optional[int] = None) -> bool:
+        """True when the (latest or given-step) checkpoint carries an EMA
+        parameter copy (training/optim.py).  Lets inference/eval CLIs
+        allocate the EMA slot in their restore target so the averaged
+        weights survive the restore instead of being reconciled away."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            return False
+        meta = json.loads((self._step_dir(step) / "meta.json").read_text())
+        return bool(meta.get("ema", False))
+
+    def _validated_step_dir(self, step: Optional[int]) -> Tuple[Path, int]:
         if step is None:
             step = self.latest_step()
         if step is None:
@@ -101,6 +111,23 @@ class CheckpointManager:
                 f"{meta['mel_fingerprint']} vs current {want}. Refusing to "
                 "resume (mel consistency invariant)."
             )
+        return path, step
+
+    def restore_tree(self, step: Optional[int] = None) -> Tuple[Any, int]:
+        """Target-less restore: the raw saved state as nested dicts, exactly
+        as written.  For inference/eval CLIs — no optimizer is reconstructed,
+        so a checkpoint trained with ANY optimizer knobs (LR schedule,
+        accumulation wrapping, EMA) loads under the default config, which a
+        structural `restore(target)` cannot do (the optimizer state tree
+        differs).  Validates the mel fingerprint."""
+        path, step = self._validated_step_dir(step)
+        return self._ckptr.restore(path / "state"), step
+
+    def restore(self, target: Any, step: Optional[int] = None) -> Tuple[Any, int]:
+        """Restore into the structure of `target` (an abstract or concrete
+        state pytree).  Validates the mel fingerprint."""
+        path, step = self._validated_step_dir(step)
+        meta = json.loads((path / "meta.json").read_text())
         field = _ema_field(target)
         ckpt_ema = bool(meta.get("ema", False))
         tgt_ema = field is not None and getattr(target, field) is not None

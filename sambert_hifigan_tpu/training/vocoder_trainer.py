@@ -43,7 +43,7 @@ from ..losses.vocoder import (
 from ..models.hifigan import HiFiGAN
 from ..parallel.mesh import batch_sharding, replicated_sharding
 from .acoustic_trainer import cast_floats
-from .optim import build_optimizer, current_lr, ema_update, maybe_init_ema
+from .optim import build_optimizer, current_lr, ema_update
 from .train_state import VocoderTrainState
 
 
@@ -57,9 +57,19 @@ def make_vocoder_optimizers(cfg: TTSConfig):
 
 
 def init_vocoder_state(
-    model: HiFiGAN, cfg: TTSConfig, rng, mel_frames: int = 32, batch: int = 1
+    model: HiFiGAN,
+    cfg: TTSConfig,
+    rng,
+    mel_frames: int = 32,
+    batch: int = 1,
+    ema: Optional[bool] = None,
 ) -> VocoderTrainState:
+    """`ema` overrides the config's ema_decay>0 decision for whether the
+    state carries a g_ema_params slot — inference/eval CLIs pass
+    CheckpointManager.has_ema() so the restore target matches the
+    checkpoint's structure."""
     g_opt, d_opt = make_vocoder_optimizers(cfg)
+    want_ema = (cfg.training.vocoder.ema_decay > 0.0) if ema is None else ema
 
     # Jitted whole-state init: G + 8 discriminators initialized eagerly is
     # hundreds of tiny per-op XLA compiles (the dominant cost of cold starts
@@ -77,7 +87,7 @@ def init_vocoder_state(
             g_opt_state=g_opt.init(g_params),
             d_opt_state=d_opt.init(d_params),
             step=jnp.zeros((), jnp.int32),
-            g_ema_params=maybe_init_ema(cfg.training.vocoder, g_params),
+            g_ema_params=jax.tree.map(jnp.array, g_params) if want_ema else None,
         )
 
     return jax.jit(_init)(rng)
@@ -87,6 +97,15 @@ def generator_inference_params(state: VocoderTrainState) -> dict:
     """The generator parameter subtree for inference/eval — the EMA copy when
     the state carries one (training/optim.py), else the raw trained params."""
     src = state.g_ema_params if state.g_ema_params is not None else state.g_params
+    return {"params": src["params"]["generator"]}
+
+
+def generator_params_from_tree(tree: dict, prefer_ema: bool = True) -> dict:
+    """Same selection from a CheckpointManager.restore_tree() dict (the
+    optimizer-agnostic CLI restore path)."""
+    src = tree.get("g_ema_params") if prefer_ema else None
+    if src is None:
+        src = tree["g_params"]
     return {"params": src["params"]["generator"]}
 
 

@@ -34,12 +34,10 @@ def main():
     from sambert_hifigan_tpu.config import default_config
     from sambert_hifigan_tpu.data.audio import save_wav
     from sambert_hifigan_tpu.data.dataset import TTSDataset
-    from sambert_hifigan_tpu.models.hifigan import HiFiGAN
     from sambert_hifigan_tpu.pipeline import TTSPipeline
     from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
     from sambert_hifigan_tpu.training.vocoder_trainer import (
-        generator_inference_params,
-        init_vocoder_state,
+        generator_params_from_tree,
     )
 
     p = argparse.ArgumentParser(description=__doc__)
@@ -48,6 +46,10 @@ def main():
     p.add_argument("--vocoder-step", type=int, default=None)
     p.add_argument("--output-dir", type=str, required=True)
     p.add_argument("--n", type=int, default=None)
+    p.add_argument("--params", choices=["auto", "raw"], default="auto",
+                   help="auto = prefer the checkpoint's EMA parameter copy "
+                        "when it carries one; raw = always use the raw "
+                        "trained parameters (for EMA-vs-raw A/B evals)")
     args = p.parse_args()
 
     cfg = default_config()
@@ -55,12 +57,12 @@ def main():
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
-    voc_state = init_vocoder_state(HiFiGAN(cfg.vocoder), cfg, jax.random.PRNGKey(0))
-    voc_state, voc_step = CheckpointManager(
-        args.vocoder_checkpoint, cfg.audio
-    ).restore(voc_state, step=args.vocoder_step)
-    print(f"vocoder checkpoint step {voc_step}")
-    gen_params = generator_inference_params(voc_state)
+    mgr = CheckpointManager(args.vocoder_checkpoint, cfg.audio)
+    tree, voc_step = mgr.restore_tree(step=args.vocoder_step)
+    prefer_ema = args.params == "auto"
+    use_ema = prefer_ema and tree.get("g_ema_params") is not None
+    gen_params = generator_params_from_tree(tree, prefer_ema=prefer_ema)
+    print(f"vocoder checkpoint step {voc_step} (params: {'ema' if use_ema else 'raw'})")
     # acoustic params unused for vocode(); pass generator params to satisfy
     # the constructor without restoring an acoustic checkpoint
     pipe = TTSPipeline(cfg, None, gen_params)

@@ -46,17 +46,13 @@ def main():
     from sambert_hifigan_tpu.config import default_config
     from sambert_hifigan_tpu.data.audio import load_wav, save_wav
     from sambert_hifigan_tpu.data.dataset import TTSDataset
-    from sambert_hifigan_tpu.models.acoustic_model import SAMBERTAcousticModel
-    from sambert_hifigan_tpu.models.hifigan import HiFiGAN
     from sambert_hifigan_tpu.pipeline import TTSPipeline
     from sambert_hifigan_tpu.training.acoustic_trainer import (
-        acoustic_inference_params,
-        init_acoustic_state,
+        acoustic_params_from_tree,
     )
     from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
     from sambert_hifigan_tpu.training.vocoder_trainer import (
-        generator_inference_params,
-        init_vocoder_state,
+        generator_params_from_tree,
     )
     from sambert_hifigan_tpu.utils.eval_metrics import mcd, mel_mae, mel_mae_dtw
 
@@ -77,19 +73,18 @@ def main():
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
-    ac_state = init_acoustic_state(
-        SAMBERTAcousticModel(cfg.acoustic_model), cfg, jax.random.PRNGKey(0)
-    )
-    ac_state, ac_step = CheckpointManager(args.acoustic_checkpoint, cfg.audio).restore(
-        ac_state, step=args.acoustic_step
-    )
-    voc_state = init_vocoder_state(HiFiGAN(cfg.vocoder), cfg, jax.random.PRNGKey(0))
-    voc_state, voc_step = CheckpointManager(args.vocoder_checkpoint, cfg.audio).restore(
-        voc_state, step=args.vocoder_step
-    )
+    ac_tree, ac_step = CheckpointManager(
+        args.acoustic_checkpoint, cfg.audio
+    ).restore_tree(step=args.acoustic_step)
+    voc_tree, voc_step = CheckpointManager(
+        args.vocoder_checkpoint, cfg.audio
+    ).restore_tree(step=args.vocoder_step)
     print(f"checkpoints: acoustic step {ac_step}, vocoder step {voc_step}")
-    gen_params = generator_inference_params(voc_state)
-    pipe = TTSPipeline(cfg, acoustic_inference_params(ac_state), gen_params)
+    pipe = TTSPipeline(
+        cfg,
+        acoustic_params_from_tree(ac_tree),
+        generator_params_from_tree(voc_tree),
+    )
 
     copy_mae, copy_mcd, tts_mae, tts_mcd = [], [], [], []
     for utt in ds.utterances[: args.n]:

@@ -66,11 +66,13 @@ def main():
     )
     from sambert_hifigan_tpu.training.acoustic_trainer import (
         acoustic_inference_params,
+        acoustic_params_from_tree,
         init_acoustic_state,
     )
     from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
     from sambert_hifigan_tpu.training.vocoder_trainer import (
         generator_inference_params,
+        generator_params_from_tree,
         init_vocoder_state,
     )
 
@@ -82,22 +84,31 @@ def main():
     )
 
     if args.acoustic_checkpoint or args.vocoder_checkpoint:
-        ac_model = SAMBERTAcousticModel(cfg.acoustic_model)
-        ac_state = init_acoustic_state(ac_model, cfg, jax.random.PRNGKey(args.seed))
+        # Optimizer-agnostic restore (restore_tree): checkpoints trained
+        # with any LR-schedule/EMA/accumulation knobs load without
+        # reconstructing their optimizer; EMA params are preferred when
+        # the checkpoint carries them.
         if args.acoustic_checkpoint:
-            ac_state, step = CheckpointManager(
+            tree, step = CheckpointManager(
                 args.acoustic_checkpoint, cfg.audio
-            ).restore(ac_state)
+            ).restore_tree()
+            ac_params = acoustic_params_from_tree(tree)
             print(f"[inference] acoustic checkpoint step {step}")
-        voc_model = HiFiGAN(cfg.vocoder)
-        voc_state = init_vocoder_state(voc_model, cfg, jax.random.PRNGKey(args.seed))
+        else:
+            ac_model = SAMBERTAcousticModel(cfg.acoustic_model)
+            ac_state = init_acoustic_state(ac_model, cfg, jax.random.PRNGKey(args.seed))
+            ac_params = acoustic_inference_params(ac_state)
         if args.vocoder_checkpoint:
-            voc_state, step = CheckpointManager(
+            tree, step = CheckpointManager(
                 args.vocoder_checkpoint, cfg.audio
-            ).restore(voc_state)
+            ).restore_tree()
+            gen_params = generator_params_from_tree(tree)
             print(f"[inference] vocoder checkpoint step {step}")
-        gen_params = generator_inference_params(voc_state)
-        pipe = TTSPipeline(cfg, acoustic_inference_params(ac_state), gen_params)
+        else:
+            voc_model = HiFiGAN(cfg.vocoder)
+            voc_state = init_vocoder_state(voc_model, cfg, jax.random.PRNGKey(args.seed))
+            gen_params = generator_inference_params(voc_state)
+        pipe = TTSPipeline(cfg, ac_params, gen_params)
     else:
         print("[inference] no checkpoints given - using random weights")
         pipe = build_pipeline_from_random_init(cfg, seed=args.seed)

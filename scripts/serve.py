@@ -189,18 +189,14 @@ def make_handler(batcher, sample_rate: int, request_timeout: float):
 
 def main():
     from sambert_hifigan_tpu.config import default_config
-    from sambert_hifigan_tpu.models.acoustic_model import SAMBERTAcousticModel
-    from sambert_hifigan_tpu.models.hifigan import HiFiGAN
     from sambert_hifigan_tpu.pipeline import TTSPipeline
     from sambert_hifigan_tpu.serving import DynamicBatcher
     from sambert_hifigan_tpu.training.acoustic_trainer import (
-        acoustic_inference_params,
-        init_acoustic_state,
+        acoustic_params_from_tree,
     )
     from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
     from sambert_hifigan_tpu.training.vocoder_trainer import (
-        generator_inference_params,
-        init_vocoder_state,
+        generator_params_from_tree,
     )
 
     p = argparse.ArgumentParser(description=__doc__)
@@ -218,14 +214,12 @@ def main():
     args = p.parse_args()
 
     cfg = default_config()
-    ac_state = init_acoustic_state(
-        SAMBERTAcousticModel(cfg.acoustic_model), cfg, jax.random.PRNGKey(0)
-    )
-    ac_state, _ = CheckpointManager(args.acoustic_checkpoint, cfg.audio).restore(ac_state)
-    voc_state = init_vocoder_state(HiFiGAN(cfg.vocoder), cfg, jax.random.PRNGKey(0))
-    voc_state, _ = CheckpointManager(args.vocoder_checkpoint, cfg.audio).restore(voc_state)
+    ac_tree, _ = CheckpointManager(args.acoustic_checkpoint, cfg.audio).restore_tree()
+    voc_tree, _ = CheckpointManager(args.vocoder_checkpoint, cfg.audio).restore_tree()
     pipe = TTSPipeline(
-        cfg, acoustic_inference_params(ac_state), generator_inference_params(voc_state)
+        cfg,
+        acoustic_params_from_tree(ac_tree),
+        generator_params_from_tree(voc_tree),
     )
     if args.warmup:
         print("warmup: compiling common buckets...")

@@ -393,3 +393,131 @@ class TestEMACheckpointReconcile:
             np.asarray(jax.tree.leaves(restored.params)[0]),
             np.asarray(jax.tree.leaves(state.params)[0]),
         )
+
+    def test_has_ema_and_cli_style_restore(self, tmp_path):
+        """Inference/eval CLIs init with ema=manager.has_ema() so the restore
+        target's structure always matches the checkpoint's: an EMA-trained
+        checkpoint keeps (and prefers) its averaged copy even though the
+        CLI's default config has ema_decay=0."""
+        from sambert_hifigan_tpu.training.acoustic_trainer import (
+            acoustic_inference_params,
+            init_acoustic_state,
+        )
+        from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
+
+        cfg, state = self._init(ema_decay=0.9)
+        ckpt = CheckpointManager(str(tmp_path / "ck"), cfg.audio)
+        ckpt.save(7, jax.device_get(state))
+        assert ckpt.has_ema() and ckpt.has_ema(step=7)
+
+        # CLI path: config says EMA off, but the checkpoint carries one.
+        cli_cfg, model = _tiny_acoustic(ema_decay=0.0)
+        fresh = init_acoustic_state(
+            model, cli_cfg, jax.random.PRNGKey(1), tph=4, max_frames=8,
+            ema=ckpt.has_ema(),
+        )
+        assert fresh.ema_params is not None
+        restored, _ = ckpt.restore(fresh)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(restored.ema_params)[0]),
+            np.asarray(jax.tree.leaves(state.ema_params)[0]),
+        )
+        assert acoustic_inference_params(restored) is restored.ema_params
+
+    def test_has_ema_false_for_pre_ema_checkpoint(self, tmp_path):
+        from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
+
+        cfg, state = self._init(ema_decay=0.0)
+        ckpt = CheckpointManager(str(tmp_path / "ck"), cfg.audio)
+        assert not ckpt.has_ema()  # empty dir
+        ckpt.save(2, jax.device_get(state))
+        assert not ckpt.has_ema()
+
+
+class TestRestoreTree:
+    """restore_tree(): the optimizer-agnostic CLI restore path — a checkpoint
+    trained with ANY optimizer knobs (schedule/EMA/accumulation) loads under
+    the default config, because no optimizer state is reconstructed."""
+
+    def test_vocoder_tree_prefers_ema(self, tmp_path):
+        import dataclasses
+
+        from sambert_hifigan_tpu.config import (
+            DiscriminatorConfig,
+            GeneratorConfig,
+            TTSConfig,
+            VocoderConfig,
+        )
+        from sambert_hifigan_tpu.models.hifigan import HiFiGAN
+        from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
+        from sambert_hifigan_tpu.training.vocoder_trainer import (
+            generator_params_from_tree,
+            init_vocoder_state,
+        )
+
+        cfg = dataclasses.replace(
+            TTSConfig(),
+            vocoder=VocoderConfig(
+                generator=GeneratorConfig(
+                    upsample_initial_channel=32,
+                    resblock_kernel_sizes=(3,),
+                    resblock_dilation_sizes=((1,),),
+                ),
+                discriminator=DiscriminatorConfig(
+                    mpd_periods=(2,), msd_scales=1, channel_div=32
+                ),
+            ),
+        )
+        # non-default knobs: EMA + accumulation (MultiSteps-wrapped opt state)
+        cfg = dataclasses.replace(
+            cfg,
+            training=dataclasses.replace(
+                cfg.training,
+                vocoder=dataclasses.replace(
+                    cfg.training.vocoder, ema_decay=0.9, accumulate_steps=2
+                ),
+            ),
+        )
+        state = init_vocoder_state(
+            HiFiGAN(cfg.vocoder), cfg, jax.random.PRNGKey(0), mel_frames=8
+        )
+        ckpt = CheckpointManager(str(tmp_path / "ck"), cfg.audio)
+        ckpt.save(9, jax.device_get(state))
+
+        tree, step = ckpt.restore_tree()
+        assert step == 9
+        ema_sel = generator_params_from_tree(tree)
+        raw_sel = generator_params_from_tree(tree, prefer_ema=False)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(ema_sel)[0]),
+            np.asarray(
+                jax.tree.leaves(
+                    {"params": state.g_ema_params["params"]["generator"]}
+                )[0]
+            ),
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(raw_sel)[0]),
+            np.asarray(
+                jax.tree.leaves({"params": state.g_params["params"]["generator"]})[0]
+            ),
+        )
+
+    def test_acoustic_tree_falls_back_to_raw(self, tmp_path):
+        from sambert_hifigan_tpu.training.acoustic_trainer import (
+            acoustic_params_from_tree,
+            init_acoustic_state,
+        )
+        from sambert_hifigan_tpu.training.checkpoint import CheckpointManager
+
+        cfg, model = _tiny_acoustic(ema_decay=0.0)
+        state = init_acoustic_state(model, cfg, jax.random.PRNGKey(0), tph=4,
+                                    max_frames=8)
+        ckpt = CheckpointManager(str(tmp_path / "ck"), cfg.audio)
+        ckpt.save(1, jax.device_get(state))
+        tree, _ = ckpt.restore_tree()
+        sel = acoustic_params_from_tree(tree)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(sel)[0]),
+            np.asarray(jax.tree.leaves(state.params)[0]),
+        )
