@@ -66,6 +66,12 @@ def parse_args():
     p.add_argument("--lr-schedule", type=str, default=None,
                    choices=["constant", "exponential", "warmup_cosine"],
                    help="learning-rate schedule (training/optim.py)")
+    p.add_argument("--lr-decay-gamma", type=float, default=None,
+                   help="exponential schedule: multiply lr by this every "
+                        "--lr-decay-steps steps (default 0.999)")
+    p.add_argument("--lr-decay-steps", type=int, default=None,
+                   help="exponential schedule: decay interval in steps "
+                        "(default 1000)")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="EMA decay for the model parameters (0 = off; "
                         "inference/eval prefer the EMA copy when present)")
@@ -81,6 +87,8 @@ def stage_overrides(tr, args):
 
     for field, val in (
         ("lr_schedule", args.lr_schedule),
+        ("lr_decay_gamma", args.lr_decay_gamma),
+        ("lr_decay_steps", args.lr_decay_steps),
         ("ema_decay", args.ema_decay),
         ("accumulate_steps", args.accumulate_steps),
     ):

@@ -62,6 +62,12 @@ def parse_args():
                    help="learning-rate schedule for BOTH sides "
                         "(training/optim.py; exponential = the official "
                         "HiFi-GAN recipe)")
+    p.add_argument("--lr-decay-gamma", type=float, default=None,
+                   help="exponential schedule: multiply lr by this every "
+                        "--lr-decay-steps steps (default 0.999)")
+    p.add_argument("--lr-decay-steps", type=int, default=None,
+                   help="exponential schedule: decay interval in steps "
+                        "(HiFi-GAN decays per epoch; default 1000)")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="EMA decay for the generator parameters (0 = off; "
                         "inference/eval prefer the EMA copy when present)")
@@ -125,6 +131,8 @@ def main():
         ("learning_rate_discriminator", args.d_lr),
         ("d_update_every", args.d_update_every),
         ("lr_schedule", args.lr_schedule),
+        ("lr_decay_gamma", args.lr_decay_gamma),
+        ("lr_decay_steps", args.lr_decay_steps),
         ("ema_decay", args.ema_decay),
         ("accumulate_steps", args.accumulate_steps),
     ):
