@@ -21,27 +21,40 @@ DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__fil
 
 
 def _host_key() -> str:
-    """Fingerprint of this host's CPU capabilities.
+    """Fingerprint of this host's CPU microarchitecture.
 
     XLA:CPU caches AOT-compiled executables keyed only by the HLO — an
-    artifact compiled on a host with different ISA features (e.g.
-    avx512 subsets) fails to deserialize with a 'machine feature not
-    supported' error on every load and forces a slow fallback.  Keying the
-    CPU-backend cache directory on the host's CPU flags keeps each
-    machine's artifacts separate, so moving the repo between hosts never
-    poisons the cache.  TPU artifacts are ISA-independent serialized PJRT
-    executables, so the TPU cache stays at the shared top level (keeping
-    the expensive tunnel-compiled training graphs warm across hosts)."""
+    artifact compiled on a host with different ISA/tuning features fails to
+    deserialize with a 'machine feature not supported' error on every load
+    and forces a slow recompile.  Keying the CPU-backend cache directory on
+    the host CPU keeps each machine's artifacts separate, so moving the repo
+    between hosts never poisons the cache.
+
+    The key must include vendor/family/model/stepping, NOT just the cpuinfo
+    flags: LLVM sets per-SKU *tuning* features that are invisible in
+    /proc/cpuinfo flags (observed live: Sapphire-Rapids-compiled entries
+    carry +prefer-no-scatter/+prefer-no-gather, which an Emerald Rapids host
+    with the IDENTICAL flag set rejects on load — 'Machine type used for
+    XLA:CPU compilation doesn't match the machine type for execution'), so a
+    flags-only key collides across SKUs and permanently poisons the cache.
+    TPU artifacts are ISA-independent serialized PJRT executables, so the
+    TPU cache stays at the shared top level (keeping the expensive
+    tunnel-compiled training graphs warm across hosts)."""
     flags = ""
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                key = line.split(":", 1)[0].strip()
+                if key == "flags" and not flags:
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                elif key in ("vendor_id", "cpu family", "model", "stepping") and len(ident) < 4:
+                    ident.append(f"{key}={line.split(':', 1)[1].strip()}")
+                if flags and len(ident) == 4:
                     break
     except OSError:
         pass
-    raw = f"{platform.machine()}|{flags}"
+    raw = f"{platform.machine()}|{'|'.join(sorted(ident))}|{flags}"
     return hashlib.sha256(raw.encode()).hexdigest()[:12]
 
 
