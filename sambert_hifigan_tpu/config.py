@@ -119,6 +119,10 @@ class DiscriminatorConfig:
 
     mpd_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     msd_scales: int = 3
+    # True replaces weight norm with power-iteration spectral norm
+    # (models/layers.py:SpectralNorm, parity-tested vs
+    # torch.nn.utils.spectral_norm; reference: models/hifigan.py:307, 481).
+    # The u/v iteration state rides in the train state's d_params["spectral"].
     msd_use_spectral_norm: bool = False
     mpd_use_spectral_norm: bool = False
     # Divide every internal channel width by this factor (1 = exact reference

@@ -26,7 +26,7 @@ own modules (reference: models/hifigan.py:134-615, models/acoustic_model.py:
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Sequence
+from typing import Dict, Mapping, Sequence, Tuple
 
 import numpy as np
 
@@ -74,6 +74,70 @@ def _conv2d_wn(sd: StateDict, name: str) -> Dict[str, Array]:
     v = np.ascontiguousarray(sd[f"{name}.weight_v"].transpose(2, 3, 1, 0))
     g = sd[f"{name}.weight_g"].reshape(-1)
     return {"kernel_wn": {"v": v, "g": g}, "bias": sd[f"{name}.bias"]}
+
+
+def _conv1d_sn(sd: StateDict, name: str) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    """torch.nn.utils.spectral_norm conv -> (params, spectral-state) leaves:
+    weight_orig becomes the raw kernel; the persistent power-iteration
+    vectors weight_u/weight_v transplant into the 'spectral' collection
+    (models/layers.py:SpectralNorm)."""
+    w = np.ascontiguousarray(sd[f"{name}.weight_orig"].transpose(2, 1, 0))
+    return (
+        {"kernel": w, "bias": sd[f"{name}.bias"]},
+        {"u": sd[f"{name}.weight_u"], "v": sd[f"{name}.weight_v"]},
+    )
+
+
+def _conv2d_sn(sd: StateDict, name: str) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    w = np.ascontiguousarray(sd[f"{name}.weight_orig"].transpose(2, 3, 1, 0))
+    return (
+        {"kernel": w, "bias": sd[f"{name}.bias"]},
+        {"u": sd[f"{name}.weight_u"], "v": sd[f"{name}.weight_v"]},
+    )
+
+
+def msd_spectral_params_from_torch(
+    sd: StateDict, prefix: str = "", n_discs: int = 3
+) -> Tuple[Dict, Dict]:
+    """Reference MultiScaleDiscriminator(use_spectral_norm=True)
+    (models/hifigan.py:307-321) -> (flax params, 'spectral' collection)."""
+    params: Dict = {}
+    spectral: Dict = {}
+    for i in range(n_discs):
+        dp: Dict = {}
+        ds: Dict = {}
+        for j in range(7):
+            dp[f"conv_{j}"], ds[f"conv_{j}"] = _conv1d_sn(
+                sd, f"{prefix}discriminators.{i}.convs.{j}"
+            )
+        dp["conv_post"], ds["conv_post"] = _conv1d_sn(
+            sd, f"{prefix}discriminators.{i}.conv_post"
+        )
+        params[f"disc_{i}"] = dp
+        spectral[f"disc_{i}"] = ds
+    return params, spectral
+
+
+def mpd_spectral_params_from_torch(
+    sd: StateDict, prefix: str = "", periods: Sequence[int] = (2, 3, 5, 7, 11)
+) -> Tuple[Dict, Dict]:
+    """Reference MultiPeriodDiscriminator(use_spectral_norm=True)
+    (models/hifigan.py:481-493) -> (flax params, 'spectral' collection)."""
+    params: Dict = {}
+    spectral: Dict = {}
+    for i, period in enumerate(periods):
+        dp: Dict = {}
+        ds: Dict = {}
+        for j in range(5):
+            dp[f"conv_{j}"], ds[f"conv_{j}"] = _conv2d_sn(
+                sd, f"{prefix}discriminators.{i}.convs.{j}"
+            )
+        dp["conv_post"], ds["conv_post"] = _conv2d_sn(
+            sd, f"{prefix}discriminators.{i}.conv_post"
+        )
+        params[f"disc_p{period}"] = dp
+        spectral[f"disc_p{period}"] = ds
+    return params, spectral
 
 
 def _linear(sd: StateDict, name: str) -> Dict[str, Array]:

@@ -67,15 +67,31 @@ def generator_adversarial_loss(
 def feature_matching_loss(
     real_feature_maps: Sequence[Sequence[jnp.ndarray]],
     fake_feature_maps: Sequence[Sequence[jnp.ndarray]],
+    fmap_counts: Optional[Sequence[Optional[Sequence[Optional[int]]]]] = None,
 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """L1 over layers (real side stop-gradiented), mean over layers then over
     discriminators; also returns per-discriminator scalars for logging
-    (reference: models/losses.py:537-623)."""
+    (reference: models/losses.py:537-623).
+
+    fmap_counts: optional per-discriminator / per-layer TRUE element counts
+    for feature maps in 'compute' layout (models/hifigan.py:
+    msd_fmap_true_counts).  Chained-folded maps carry zero tail padding
+    identically in real and fake, so sum(|f - r|) / true_count equals the
+    reference's elementwise mean exactly; None falls back to jnp.mean.
+    """
     per_disc = []
-    for real_list, fake_list in zip(real_feature_maps, fake_feature_maps):
+    for di, (real_list, fake_list) in enumerate(
+        zip(real_feature_maps, fake_feature_maps)
+    ):
+        layer_counts = fmap_counts[di] if fmap_counts is not None else None
         disc_loss = 0.0
-        for rf, ff in zip(real_list, fake_list):
-            disc_loss += jnp.mean(jnp.abs(ff - jax.lax.stop_gradient(rf)))
+        for li, (rf, ff) in enumerate(zip(real_list, fake_list)):
+            diff = jnp.abs(ff - jax.lax.stop_gradient(rf))
+            count = layer_counts[li] if layer_counts is not None else None
+            if count is None:
+                disc_loss += jnp.mean(diff)
+            else:
+                disc_loss += jnp.sum(diff) / count
         per_disc.append(disc_loss / len(real_list))
     total = sum(per_disc) / len(per_disc)
     return total, per_disc
@@ -135,12 +151,14 @@ def vocoder_generator_loss(
     fake_feature_maps: Optional[Sequence[Sequence[jnp.ndarray]]] = None,
     weights: LossWeights = LossWeights(),
     use_mel_loss: bool = True,
+    fmap_counts: Optional[Sequence[Optional[Sequence[Optional[int]]]]] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Generator loss per ablation mode (reference: models/losses.py:834-1005).
 
     Returns (gen_loss, metrics) where metrics carries the reference's exact
     key schema, with zero-valued entries for inactive terms and
     gen_fm_loss_disc_{i} per-discriminator FM components in adv_mel_fm mode.
+    fmap_counts: see feature_matching_loss (compute-layout feature maps).
     """
     if loss_mode not in VALID_LOSS_MODES:
         raise ValueError(
@@ -182,7 +200,9 @@ def vocoder_generator_loss(
                 "'adv_mel_fm' mode"
             )
         adv = generator_adversarial_loss(disc_fake_outputs)
-        fm, per_disc = feature_matching_loss(real_feature_maps, fake_feature_maps)
+        fm, per_disc = feature_matching_loss(
+            real_feature_maps, fake_feature_maps, fmap_counts
+        )
         sc, mag = multi_resolution_stft_loss(wav_real, wav_fake)
         stft = sc + mag
         gen_loss = (

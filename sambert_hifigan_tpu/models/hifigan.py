@@ -28,10 +28,19 @@ import math
 from typing import List, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..config import GeneratorConfig, VocoderConfig
-from ..ops.conv import avg_pool1d, get_padding, leaky_relu, reflect_pad_time
+from ..ops.conv import (
+    avg_pool1d,
+    conv_out_len,
+    fold_time,
+    get_padding,
+    leaky_relu,
+    reflect_pad_time,
+    unfold_time,
+)
 from .layers import Conv1d, Conv2d, ConvTranspose1d
 
 LRELU_SLOPE = 0.1
@@ -161,60 +170,204 @@ class HiFiGANGenerator(nn.Module):
         return jnp.swapaxes(wav, 1, 2)  # [B, 1, T_wav]
 
 
+# MSD ladder conv specs: (cin, cout, kernel, stride, groups, pad)
+# (reference: models/hifigan.py:307-321); conv_post appended by _msd_ladder.
+_MSD_SPECS = (
+    (1, 128, 15, 1, 1, 7),
+    (128, 128, 41, 2, 4, 20),
+    (128, 256, 41, 2, 16, 20),
+    (256, 512, 41, 4, 16, 20),
+    (512, 1024, 41, 4, 16, 20),
+    (1024, 1024, 41, 1, 16, 20),
+    (1024, 1024, 5, 1, 1, 2),
+)
+
+
+def _msd_ladder(channel_div: int) -> List[Tuple[int, int, int, int, int, int]]:
+    """The 8 conv specs (7 ladder + conv_post) at a given channel divisor."""
+    scale = lambda c: c if c == 1 else max(1, c // channel_div)  # noqa: E731
+    out = []
+    for cin, cout, k, s, g, p in _MSD_SPECS:
+        cin, cout = scale(cin), scale(cout)
+        g = math.gcd(g, math.gcd(cin, cout))
+        out.append((cin, cout, k, s, g, p))
+    out.append((scale(1024), 1, 3, 1, 1, 1))
+    return out
+
+
+def _pow2_floor(x: int) -> int:
+    p = 1
+    while p * 2 <= x:
+        p *= 2
+    return p
+
+
+def _chain_schedule(
+    specs, fold_max: int, r_wave: int = 4
+) -> List[Tuple[int, int]]:
+    """Per-conv (r_in, r_out) fold factors for the chained folded ladder.
+
+    r_out targets min(fold_max, 128 // Cg_out) output phases (fill the MXU's
+    128 lanes per group) and is forced up to ceil(r_in / stride) so that the
+    chain constraint r_out*stride % r_in == 0 holds; all values are powers of
+    two (strides in the ladder are 1/2/4), so the constraint reduces to a
+    max().
+    """
+    r = r_wave
+    sched = []
+    for cin, cout, k, s, g, p in specs:
+        cg_out = max(1, cout // g)
+        want = _pow2_floor(max(1, min(fold_max, 128 // cg_out)))
+        need = max(1, -(-r // s))
+        sched.append((r, max(want, _pow2_floor(2 * need - 1))))
+        r = sched[-1][1]
+    return sched
+
+
+def msd_fmap_true_counts(
+    t_wav: int, batch: int, channel_div: int = 1, fold_max: int = 8,
+    n_scales: int = 3,
+) -> List[List[int]]:
+    """TRUE element counts of every MSD feature map in 'compute' fmap layout.
+
+    Chained-folded fmaps carry zero tail padding in BOTH real and fake maps,
+    so the exact FM term is sum(|f - r|) / true_count — these are the
+    true_counts (batch * C * t_true per layer; None where the map is exact
+    and a plain mean is already correct).  Used by the jitted GAN step
+    (training/vocoder_trainer.py) with losses/vocoder.feature_matching_loss.
+    """
+    specs = _msd_ladder(channel_div)
+    counts: List[List[int]] = []
+    t_scale = t_wav
+    for s_i in range(n_scales):
+        if s_i > 0:
+            t_scale = avg_pool_out_len(t_scale)
+        per: List[int] = []
+        t = t_scale
+        for li, (cin, cout, k, s, g, p) in enumerate(specs[:-1]):
+            t = conv_out_len(t, k, s, p)
+            # only the chained layers (conv_0..conv_5) are folded/padded;
+            # the dense tail (conv_6) and the logits are exact in compute
+            # layout, so a plain mean is already correct there
+            folded = fold_max > 1 and li < 6
+            per.append(batch * cout * t if folded else None)
+        per.append(None)  # conv_post fmap (logits) is exact
+        counts.append(per)
+    return counts
+
+
+def avg_pool_out_len(t: int) -> int:
+    """Output length of the MSD pooling ladder's AvgPool1d(4, 2, 2)."""
+    return (t + 2 * 2 - 4) // 2 + 1
+
+
 class ScaleDiscriminator(nn.Module):
     """Single-scale waveform critic (reference: models/hifigan.py:286-353).
 
     Returns (logits [B, 1, T'], 8 feature maps) — 7 conv features + conv_post.
-    Feature maps are returned channel-FIRST ([B, C, T]) to match the reference
-    arity/shape contracts in the loss tests.
+    With fmap_layout="torch" (default) feature maps are channel-FIRST
+    ([B, C, T]), matching the reference arity/shape contracts in the loss
+    tests.  fmap_layout="compute" returns them in the internal chained-folded
+    layout ([B, ceil(T/r), C*r] pseudo-channels, zero tail padding) — a fixed
+    permutation + zero-pad of the same elements, which elementwise losses
+    consume exactly via msd_fmap_true_counts, skipping every unfold transpose
+    inside the jitted GAN step.
     """
 
     use_spectral_norm: bool = False
     channel_div: int = 1
-    # Channel-fold cap for the k=41 grouped convs (ops/conv.py:folded_conv1d):
-    # they expose only C_out/groups = 16..64 MXU lanes per group and dominate
-    # the GAN train step (profiled: MSD = 68% of the 104 ms step, ~6% MFU on
-    # these convs).  Folding min(fold_max, 128 // Cg_out) output steps into
-    # the channel axis fills the lanes at 1.0-2.3x the FLOPs — element-exact,
-    # parameters unchanged.  0/1 disables.
+    # Cap on the chained ladder's per-conv fold factors
+    # (ops/conv.py:chain_folded_conv1d): the grouped k=41 convs expose only
+    # C_out/groups = 16..64 MXU lanes per group and dominate the GAN train
+    # step; packing min(fold_max, 128 // Cg_out) output phases into the
+    # channel axis fills the lanes at 1.0-2.3x the FLOPs — element-exact,
+    # parameters unchanged — and the chained layout removes all inter-conv
+    # relayouts.  0/1 disables (plain reference-shaped convs).
     fold_max: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
-        # x: [B, 1, T] -> [B, T, 1]
-        h = jnp.swapaxes(x, 1, 2)
-        div = self.channel_div
-        scale = lambda c: c if c == 1 else max(1, c // div)  # noqa: E731
-        specs = [
-            # (cin, cout, k, stride, groups, pad)
-            (1, 128, 15, 1, 1, 7),
-            (128, 128, 41, 2, 4, 20),
-            (128, 256, 41, 2, 16, 20),
-            (256, 512, 41, 4, 16, 20),
-            (512, 1024, 41, 4, 16, 20),
-            (1024, 1024, 41, 1, 16, 20),
-            (1024, 1024, 5, 1, 1, 2),
-        ]
+    def __call__(
+        self, x: jnp.ndarray, fmap_layout: str = "torch"
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        specs = _msd_ladder(self.channel_div)
+        *ladder, post = specs
         fmaps: List[jnp.ndarray] = []
-        for i, (cin, cout, k, s, g, p) in enumerate(specs):
-            cin, cout = scale(cin), scale(cout)
-            g = math.gcd(g, math.gcd(cin, cout))
-            fold = (
-                min(self.fold_max, max(1, 128 // (cout // g)))
-                if k == 41 and self.fold_max > 1
-                else 1
-            )
+        if self.fold_max > 1:
+            # Chained folded ladder over conv_0..conv_5: fold the waveform
+            # once (free reshape at C=1), keep every grouped-k41 activation
+            # in pseudo-channel layout, unfold ONCE before the dense tail.
+            # conv_6/conv_post stay plain: their chained kernels would be
+            # dense [k_f, 2048, 2048] tensors REBUILT in-graph every step
+            # with 2-wide-minor-dim transposes — profiled at ~100 ms/step of
+            # pure kernel construction, dwarfing the one unfold they avoid.
+            # The grouped convs' per-group kernels are small (Cg <= 64), so
+            # their construction is noise.  All wave-layout moves are
+            # reshapes, never size-1 transposes — a [B, T, 1] swapaxes form
+            # trips a TPU fusion cost-model CHECK (jellyfish TransformWindow).
+            chained_n = 6  # conv_0 .. conv_5 (the small/grouped kernels)
+            sched = _chain_schedule(ladder[:chained_n], self.fold_max)
+            b, _, t = x.shape
+            h = fold_time(x.reshape(b, t, 1), sched[0][0])
+            # Keep the wave reshape out of the first conv's fusion: the TPU
+            # fusion cost model CHECK-fails window-transforming a fused
+            # [B, T, 1] producer (jellyfish fusion_util TransformWindow).
+            h = jax.lax.optimization_barrier(h)
+            for i, ((cin, cout, k, s, g, p), (r_in, r_out)) in enumerate(
+                zip(ladder[:chained_n], sched)
+            ):
+                h = Conv1d(
+                    cin, cout, k, stride=s, groups=g, padding=p,
+                    weight_norm=not self.use_spectral_norm,
+                    spectral_norm=self.use_spectral_norm,
+                    chain=(r_in, r_out), dtype=self.dtype, name=f"conv_{i}",
+                )(h, chain_t_in=t)
+                t = conv_out_len(t, k, s, p)
+                h = leaky_relu(h, LRELU_SLOPE)
+                if fmap_layout == "torch":
+                    fmaps.append(jnp.swapaxes(unfold_time(h, r_out, t), 1, 2))
+                else:
+                    fmaps.append(h)
+            h = unfold_time(h, sched[-1][1], t)  # the ladder's ONE relayout
+            for i in range(chained_n, len(ladder)):
+                cin, cout, k, s, g, p = ladder[i]
+                h = Conv1d(
+                    cin, cout, k, stride=s, groups=g, padding=p,
+                    weight_norm=not self.use_spectral_norm,
+                    spectral_norm=self.use_spectral_norm,
+                    dtype=self.dtype, name=f"conv_{i}",
+                )(h)
+                t = conv_out_len(t, k, s, p)
+                h = leaky_relu(h, LRELU_SLOPE)
+                fmaps.append(jnp.swapaxes(h, 1, 2) if fmap_layout == "torch" else h)
+            cin, cout, k, s, g, p = post
+            h = Conv1d(
+                cin, cout, k, padding=p,
+                weight_norm=not self.use_spectral_norm,
+                spectral_norm=self.use_spectral_norm,
+                dtype=self.dtype, name="conv_post",
+            )(h)
+            t = conv_out_len(t, k, s, p)
+            out = h.reshape(b, 1, t)  # [B, t, 1] -> [B, 1, t], pure reshape
+            fmaps.append(out)
+            return out, fmaps
+        # Plain path (reference-shaped convs, fold disabled)
+        b, _, t = x.shape
+        h = x.reshape(b, t, 1)
+        for i, (cin, cout, k, s, g, p) in enumerate(ladder):
             h = Conv1d(
                 cin, cout, k, stride=s, groups=g, padding=p,
-                weight_norm=not self.use_spectral_norm, fold=fold,
+                weight_norm=not self.use_spectral_norm,
+                spectral_norm=self.use_spectral_norm,
                 dtype=self.dtype, name=f"conv_{i}",
             )(h)
             h = leaky_relu(h, LRELU_SLOPE)
-            fmaps.append(jnp.swapaxes(h, 1, 2))
+            fmaps.append(jnp.swapaxes(h, 1, 2) if fmap_layout == "torch" else h)
+        cin, cout, k, s, g, p = post
         h = Conv1d(
-            scale(1024), 1, 3, padding=1,
+            cin, cout, k, padding=p,
             weight_norm=not self.use_spectral_norm,
+                spectral_norm=self.use_spectral_norm,
             dtype=self.dtype, name="conv_post",
         )(h)
         out = jnp.swapaxes(h, 1, 2)
@@ -237,10 +390,13 @@ class MultiScaleDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray
+        self, x: jnp.ndarray, fmap_layout: str = "torch"
     ) -> Tuple[List[jnp.ndarray], List[List[jnp.ndarray]]]:
         outputs, fmaps_list = [], []
-        xt = jnp.swapaxes(x, 1, 2)  # [B, T, 1]
+        bsz = x.shape[0]
+        # [B, 1, T] <-> [B, T, 1] via reshape, never a size-1 transpose
+        # (the transpose form trips a TPU fusion cost-model CHECK).
+        xt = x.reshape(bsz, x.shape[2], 1)
         scales = [xt]
         for _ in range(self.n_scales - 1):
             scales.append(avg_pool1d(scales[-1], 4, 2, 2))
@@ -248,7 +404,7 @@ class MultiScaleDiscriminator(nn.Module):
             out, fmaps = ScaleDiscriminator(
                 self.use_spectral_norm, channel_div=self.channel_div,
                 fold_max=self.fold_max, dtype=self.dtype, name=f"disc_{i}"
-            )(jnp.swapaxes(xs, 1, 2))
+            )(xs.reshape(bsz, 1, xs.shape[1]), fmap_layout)
             outputs.append(out)
             fmaps_list.append(fmaps)
         return outputs, fmaps_list
@@ -269,7 +425,14 @@ class PeriodDiscriminator(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    def __call__(
+        self, x: jnp.ndarray, fmap_layout: str = "torch"
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        # fmap_layout="compute" keeps feature maps channel-LAST ([B, H, W, C],
+        # the conv layout) — a pure transpose of the torch-layout maps, which
+        # the elementwise FM/LSGAN means are invariant to; skipping the
+        # 6-per-critic relayouts matters inside the jitted GAN step.
+        torch_maps = fmap_layout == "torch"
         b, c, t = x.shape
         if t % self.period != 0:
             pad = self.period - (t % self.period)
@@ -288,22 +451,25 @@ class PeriodDiscriminator(nn.Module):
                 stride=(self.stride, 1),
                 padding=(get_padding(self.kernel_size, 1), 0),
                 weight_norm=not self.use_spectral_norm,
+                spectral_norm=self.use_spectral_norm,
                 dtype=self.dtype, name=f"conv_{i}",
             )(h)
             h = leaky_relu(h, LRELU_SLOPE)
-            fmaps.append(h.transpose(0, 3, 1, 2))  # [B, C, H, W]
+            fmaps.append(h.transpose(0, 3, 1, 2) if torch_maps else h)
         h = Conv2d(
             scale(1024), scale(1024), (self.kernel_size, 1), stride=(1, 1),
             padding=(2, 0),
-            weight_norm=not self.use_spectral_norm, dtype=self.dtype, name="conv_4",
+            weight_norm=not self.use_spectral_norm,
+                spectral_norm=self.use_spectral_norm, dtype=self.dtype, name="conv_4",
         )(h)
         h = leaky_relu(h, LRELU_SLOPE)
-        fmaps.append(h.transpose(0, 3, 1, 2))
+        fmaps.append(h.transpose(0, 3, 1, 2) if torch_maps else h)
         h = Conv2d(
             scale(1024), 1, (3, 1), stride=(1, 1), padding=(1, 0),
-            weight_norm=not self.use_spectral_norm, dtype=self.dtype, name="conv_post",
+            weight_norm=not self.use_spectral_norm,
+                spectral_norm=self.use_spectral_norm, dtype=self.dtype, name="conv_post",
         )(h)
-        out = h.transpose(0, 3, 1, 2)  # [B, 1, H, W]
+        out = h.transpose(0, 3, 1, 2)  # [B, 1, H, W] (tiny; exact both modes)
         fmaps.append(out)
         return out, fmaps
 
@@ -318,7 +484,7 @@ class MultiPeriodDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray
+        self, x: jnp.ndarray, fmap_layout: str = "torch"
     ) -> Tuple[List[jnp.ndarray], List[List[jnp.ndarray]]]:
         outputs, fmaps_list = [], []
         for p in self.periods:
@@ -326,7 +492,7 @@ class MultiPeriodDiscriminator(nn.Module):
                 p, use_spectral_norm=self.use_spectral_norm,
                 channel_div=self.channel_div,
                 dtype=self.dtype, name=f"disc_p{p}",
-            )(x)
+            )(x, fmap_layout)
             outputs.append(out)
             fmaps_list.append(fmaps)
         return outputs, fmaps_list
@@ -378,11 +544,21 @@ class HiFiGAN(nn.Module):
         self.discriminate(wav, wav)
         return wav
 
-    def discriminate(self, wav_real: jnp.ndarray, wav_fake: jnp.ndarray):
-        msd_real_out, msd_real_feat = self.msd(wav_real)
-        msd_fake_out, msd_fake_feat = self.msd(wav_fake)
-        mpd_real_out, mpd_real_feat = self.mpd(wav_real)
-        mpd_fake_out, mpd_fake_feat = self.mpd(wav_fake)
+    def discriminate(
+        self,
+        wav_real: jnp.ndarray,
+        wav_fake: jnp.ndarray,
+        fmap_layout: str = "torch",
+    ):
+        """fmap_layout="compute" returns feature maps in the discriminators'
+        internal layouts (chained-folded for MSD, channel-last for MPD) —
+        exact permutations/zero-pads of the torch-layout maps, consumed by the
+        jitted GAN step together with msd_fmap_true_counts so no unfold
+        transposes run in training.  Logits are layout-exact in both modes."""
+        msd_real_out, msd_real_feat = self.msd(wav_real, fmap_layout)
+        msd_fake_out, msd_fake_feat = self.msd(wav_fake, fmap_layout)
+        mpd_real_out, mpd_real_feat = self.mpd(wav_real, fmap_layout)
+        mpd_fake_out, mpd_fake_feat = self.mpd(wav_fake, fmap_layout)
         return (
             msd_real_out, msd_real_feat,
             msd_fake_out, msd_fake_feat,

@@ -21,12 +21,67 @@ from ..utils.init import (
 )
 
 
+def _l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """torch.nn.functional.normalize semantics: x / max(||x||, eps)."""
+    return x / jnp.maximum(jnp.linalg.norm(x), eps)
+
+
+class SpectralNorm:
+    """Power-iteration spectral normalization with torch parity
+    (torch.nn.utils.spectral_norm; reference uses it on the discriminators
+    when use_spectral_norm=True, /root/reference/models/hifigan.py:307-321,
+    481-493).
+
+    w_mat is the weight flattened to [C_out, -1] in torch's element order;
+    u [C_out] and v [fan_in] are persistent state in the 'spectral' variable
+    collection.  When the collection is mutable (training), ONE power
+    iteration runs per call with stop-gradiented u/v (torch
+    n_power_iterations=1 under no_grad); otherwise the stored vectors are
+    used as-is (torch eval).  sigma = u^T W v differentiates through W only,
+    exactly like torch; the effective kernel is w / sigma.
+
+    Used via Conv1d/Conv2d(spectral_norm=True); apply with
+    mutable=["spectral"] to advance the iteration (the jitted GAN step's
+    D-pass does; all read-only paths — G-pass, eval, parity — don't).
+    """
+
+    @staticmethod
+    def apply(module: nn.Module, w: jnp.ndarray, w_mat: jnp.ndarray) -> jnp.ndarray:
+        cout, fan = w_mat.shape
+
+        def vec_init(n):
+            def init():
+                key = module.make_rng("params")
+                return _l2_normalize(jax.random.normal(key, (n,), jnp.float32))
+
+            return init
+
+        u_var = module.variable("spectral", "u", vec_init(cout))
+        v_var = module.variable("spectral", "v", vec_init(fan))
+        u, v = u_var.value, v_var.value
+        updating = (
+            module.is_mutable_collection("spectral")
+            and not module.is_initializing()
+        )
+        if updating:
+            wm = jax.lax.stop_gradient(w_mat)
+            v = _l2_normalize(wm.T @ u)
+            u = _l2_normalize(wm @ v)
+            u_var.value, v_var.value = u, v
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
+        sigma = u @ (w_mat @ v)
+        return w / sigma
+
+
 class Conv1d(nn.Module):
     """Torch-semantics Conv1d on [B, T, C] with optional weight norm.
 
     weight_norm=True reproduces torch's nn.utils.weight_norm(conv) applied at
     construction (discriminators, reference: models/hifigan.py:307-321); at
     init g = ||v|| so the effective kernel equals the plain init draw.
+    spectral_norm=True reproduces torch's nn.utils.spectral_norm instead
+    (see SpectralNorm).
     """
 
     in_channels: int
@@ -38,16 +93,27 @@ class Conv1d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     weight_norm: bool = False
+    spectral_norm: bool = False
     # Channel-fold factor for the MXU (see ops/conv.py:folded_conv1d); a
     # call-time transform — parameter shapes and semantics are unchanged.
     # Stride/groups-aware; T that does not divide is zero-padded and trimmed.
     fold: int = 1
+    # Chained-fold mode (ops/conv.py:chain_folded_conv1d): (r_in, r_out).
+    # When set, __call__ consumes AND produces the fold_time pseudo-channel
+    # layout [B, nb, C*r] and needs the true input length via chain_t_in.
+    # Parameter shapes/semantics are unchanged (same call-time transform
+    # family as `fold`, but with zero inter-layer relayouts).
+    chain: Optional[Tuple[int, int]] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, chain_t_in: Optional[int] = None
+    ) -> jnp.ndarray:
         kshape = (self.kernel_size, self.in_channels // self.groups, self.out_channels)
         fan_in = kshape[0] * kshape[1]
+        if self.weight_norm and self.spectral_norm:
+            raise ValueError("weight_norm and spectral_norm are exclusive")
         if self.weight_norm:
             def wn_init(key, shape):
                 v = torch_conv_kernel_init(key, shape)
@@ -58,6 +124,11 @@ class Conv1d(nn.Module):
             w = conv_ops.weight_norm_kernel(wn["g"], wn["v"])
         else:
             w = self.param("kernel", torch_conv_kernel_init, kshape)
+            if self.spectral_norm:
+                # torch flattens its [out, in/g, k] weight to [out, -1];
+                # ours is [k, in/g, out] — transpose reproduces the order.
+                w_mat = w.transpose(2, 1, 0).reshape(self.out_channels, -1)
+                w = SpectralNorm.apply(self, w, w_mat)
         b = (
             self.param("bias", torch_bias_init(fan_in), (self.out_channels,))
             if self.use_bias
@@ -66,6 +137,15 @@ class Conv1d(nn.Module):
         w = w.astype(self.dtype)
         b = b.astype(self.dtype) if b is not None else None
         x = x.astype(self.dtype)
+        if self.chain is not None:
+            if chain_t_in is None:
+                raise ValueError("chain mode requires chain_t_in (true length)")
+            r_in, r_out = self.chain
+            return conv_ops.chain_folded_conv1d(
+                x, w, b, t_in=chain_t_in, r_in=r_in, r_out=r_out,
+                stride=self.stride, padding=self.padding,
+                dilation=self.dilation, groups=self.groups,
+            )
         if self.fold > 1:
             return conv_ops.folded_conv1d(
                 x, w, b, stride=self.stride, padding=self.padding,
@@ -143,6 +223,7 @@ class Conv2d(nn.Module):
     padding: Tuple[int, int] = (0, 0)
     use_bias: bool = True
     weight_norm: bool = False
+    spectral_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -150,6 +231,8 @@ class Conv2d(nn.Module):
         kh, kw = self.kernel_size
         kshape = (kh, kw, self.in_channels, self.out_channels)
         fan_in = kh * kw * self.in_channels
+        if self.weight_norm and self.spectral_norm:
+            raise ValueError("weight_norm and spectral_norm are exclusive")
         if self.weight_norm:
             def wn_init(key, shape):
                 v = torch_conv_kernel_init(key, shape)
@@ -160,6 +243,11 @@ class Conv2d(nn.Module):
             w = conv_ops.weight_norm_kernel(wn["g"], wn["v"])
         else:
             w = self.param("kernel", torch_conv_kernel_init, kshape)
+            if self.spectral_norm:
+                # torch flattens its [out, in, kh, kw] weight to [out, -1];
+                # ours is [kh, kw, in, out] — transpose reproduces the order.
+                w_mat = w.transpose(3, 2, 0, 1).reshape(self.out_channels, -1)
+                w = SpectralNorm.apply(self, w, w_mat)
         b = (
             self.param("bias", torch_bias_init(fan_in), (self.out_channels,))
             if self.use_bias

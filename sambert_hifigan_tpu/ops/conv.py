@@ -289,6 +289,158 @@ def folded_conv1d(
     return y
 
 
+def conv_out_len(
+    t: int, kernel_size: int, stride: int = 1, padding: int = 0, dilation: int = 1
+) -> int:
+    """Torch Conv1d output-length formula."""
+    return (t + 2 * padding - (kernel_size - 1) * dilation - 1) // stride + 1
+
+
+def fold_time(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """[B, T, C] -> [B, ceil(T/r), C*r] pseudo-channel layout.
+
+    Pseudo-channel index is c*r + j (channel-MAJOR, time-phase minor): pixel n
+    carries times [n*r, (n+1)*r).  T not divisible by r is right-zero-padded.
+    For C == 1 this is a pure reshape (free under XLA).
+
+    This is the on-wire activation format of the chained folded MSD ladder
+    (chain_folded_conv1d): channel-major phase packing is what keeps any
+    contiguous true-channel grouping contiguous in pseudo-channels, so
+    feature_group_count convs chain without a single relayout.
+    """
+    b, t, c = x.shape
+    nb = -(-t // r)
+    if nb * r > t:
+        x = jnp.pad(x, ((0, 0), (0, nb * r - t), (0, 0)))
+    if c == 1:
+        # pure reshape; the size-1 transpose form below trips a TPU fusion
+        # cost-model CHECK (jellyfish TransformWindow) on large waveforms
+        return x.reshape(b, nb, r)
+    return x.reshape(b, nb, r, c).transpose(0, 1, 3, 2).reshape(b, nb, c * r)
+
+
+def unfold_time(y: jnp.ndarray, r: int, t: int) -> jnp.ndarray:
+    """Inverse of fold_time: [B, nb, C*r] -> [B, t, C] (trims tail padding)."""
+    b, nb, cr = y.shape
+    c = cr // r
+    if c == 1:  # pure reshape (see fold_time)
+        return y.reshape(b, nb * r, 1)[:, :t]
+    y = y.reshape(b, nb, c, r).transpose(0, 1, 3, 2).reshape(b, nb * r, c)
+    return y[:, :t]
+
+
+def chain_folded_conv1d(
+    x_f: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    *,
+    t_in: int,
+    r_in: int,
+    r_out: int,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """Folded-in -> folded-out conv1d: consumes AND produces the fold_time
+    pseudo-channel layout, so a whole conv ladder runs with ZERO transposes
+    between layers — exact same math as conv1d on the unfolded signal.
+
+    Motivation (profiled on the HiFi-GAN GAN train step, v5e): folded_conv1d
+    recovers MXU lanes for the MSD's small-group k=41 convs but pays an
+    unfold transpose per conv ((g, j) -> (j, g) channel permutes, ~28 ms of
+    an 88.7 ms step including backward mirrors).  Packing phases
+    channel-MAJOR removes the permutes entirely:
+
+      input  pseudo-channel (ci, m): true channel ci at block phase m,
+      output pseudo-channel (co, j): layout-stable across layers, and any
+      contiguous true-channel group [c0, c1) maps to the contiguous
+      pseudo-range [c0*r, c1*r) — feature_group_count works unchanged.
+
+    For output phase j and tap i, the read offset within the input stream is
+    o = j*stride + i*dilation - padding = q*r_in + m, so the kernel
+
+      W_f[q - q_min, (ci, m), (g, co, j)] = w[i, ci, g*cg_out + co]
+
+    turns the conv into a plain grouped 1-D conv over the BLOCK axis with
+    window stride w_pix = r_out*stride / r_in (must divide; powers of two in
+    the MSD schedule).  Block-axis padding pads whole blocks of zeros, which
+    is exactly the conv's own zero padding; output positions past the true
+    t_out (the tail block's dead phases) are masked to zero so downstream
+    layers read exactly the implicit zeros the unfolded conv would.
+
+    x_f [B, ceil(t_in/r_in), C_in*r_in]  (positions >= t_in must be zero),
+    w   [K, C_in // groups, C_out]       (same layout as conv1d),
+    ->  [B, ceil(t_out/r_out), C_out*r_out] with t_out = conv_out_len(...).
+    """
+    if (r_out * stride) % r_in != 0:
+        raise ValueError(
+            f"chain_folded_conv1d needs r_out*stride % r_in == 0 "
+            f"(r_in={r_in}, r_out={r_out}, stride={stride})"
+        )
+    bsz, nb_in, cr_in = x_f.shape
+    k, cg_in, cout = w.shape
+    cin = cg_in * groups
+    if cr_in != cin * r_in or cout % groups:
+        raise ValueError(
+            f"bad shapes: x_f C*r={cr_in}, cin={cin}, r_in={r_in}, w {w.shape}"
+        )
+    cg_out = cout // groups
+    s, d, p = stride, dilation, padding
+    w_pix = (r_out * s) // r_in
+    t_out = conv_out_len(t_in, k, s, p, d)
+    nb_out = -(-t_out // r_out)
+
+    import numpy as _np
+
+    # Static (q, m, j) -> tap i index map, one gather (see folded_conv1d for
+    # why per-tap scatters are ruinous for XLA compile time).
+    j_arr = _np.arange(r_out)
+    i_arr = _np.arange(k)
+    o = j_arr[None, :] * s + i_arr[:, None] * d - p  # [k, r_out]
+    q_all = o // r_in
+    q_min, q_max = int(q_all.min()), int(q_all.max())
+    k_f = q_max - q_min + 1
+    i_idx = _np.zeros((k_f, r_in, r_out), _np.int32)
+    valid = _np.zeros((k_f, r_in, r_out), bool)
+    for q in range(q_min, q_max + 1):
+        for m in range(r_in):
+            off = q * r_in + m  # o for this (q, m)
+            num = off + p - s * j_arr  # i*d per output phase
+            i_cand = num // d
+            ok = (num % d == 0) & (i_cand >= 0) & (i_cand < k)
+            i_idx[q - q_min, m] = _np.where(ok, i_cand, 0)
+            valid[q - q_min, m] = ok
+
+    wr = w.reshape(k, cg_in, groups, cg_out)
+    w6 = jnp.take(wr, jnp.asarray(i_idx.reshape(-1)), axis=0)
+    w6 = w6.reshape(k_f, r_in, r_out, cg_in, groups, cg_out)
+    w6 = jnp.where(jnp.asarray(valid)[:, :, :, None, None, None], w6, 0)
+    # -> [k_f, (ci, m), (g, co, j)]
+    w6 = w6.transpose(0, 3, 1, 4, 5, 2)
+    w_f = w6.reshape(k_f, cg_in * r_in, groups * cg_out * r_out)
+
+    pad_l = -q_min
+    pad_r = max(0, (nb_out - 1) * w_pix + k_f - pad_l - nb_in)
+    y = lax.conv_general_dilated(
+        x_f,
+        w_f,
+        window_strides=(w_pix,),
+        padding=[(pad_l, pad_r)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )[:, :nb_out]
+    if b is not None:
+        y = y + jnp.repeat(b, r_out)
+    rem = t_out - (nb_out - 1) * r_out
+    if rem < r_out:
+        # Dead phases of the tail block: zero them so downstream convs see
+        # exactly the implicit zero padding of the unfolded formulation.
+        mask = jnp.tile(jnp.arange(r_out) < rem, cout).astype(y.dtype)
+        y = jnp.concatenate([y[:, :-1], y[:, -1:] * mask], axis=1)
+    return y
+
+
 def avg_pool1d(
     x: jnp.ndarray, kernel_size: int, stride: int, padding: int
 ) -> jnp.ndarray:

@@ -40,7 +40,7 @@ from ..losses.vocoder import (
     vocoder_discriminator_loss,
     vocoder_generator_loss,
 )
-from ..models.hifigan import HiFiGAN
+from ..models.hifigan import HiFiGAN, msd_fmap_true_counts
 from ..parallel.mesh import batch_sharding, replicated_sharding
 from .acoustic_trainer import cast_floats
 from .optim import build_optimizer, current_lr, ema_update
@@ -81,11 +81,16 @@ def init_vocoder_state(
         params = variables["params"]
         g_params = {"params": {"generator": params["generator"]}}
         d_params = {"params": {"msd": params["msd"], "mpd": params["mpd"]}}
+        d_trainable = d_params
+        if "spectral" in variables:
+            # spectral-norm u/v state: carried next to the D params but NOT
+            # trainable (the optimizer sees only the "params" subtree)
+            d_params = {**d_params, "spectral": variables["spectral"]}
         return VocoderTrainState(
             g_params=g_params,
             d_params=d_params,
             g_opt_state=g_opt.init(g_params),
-            d_opt_state=d_opt.init(d_params),
+            d_opt_state=d_opt.init(d_trainable),
             step=jnp.zeros((), jnp.int32),
             g_ema_params=jax.tree.map(jnp.array, g_params) if want_ema else None,
         )
@@ -110,7 +115,13 @@ def generator_params_from_tree(tree: dict, prefer_ema: bool = True) -> dict:
 
 
 def _discriminate(model: HiFiGAN, d_params, wav_real, wav_fake):
-    return model.apply(d_params, wav_real, wav_fake, method=HiFiGAN.discriminate)
+    # "compute" fmap layout: MSD feature maps stay in the chained-folded
+    # pseudo-channel layout and MPD's stay channel-last — no unfold/transpose
+    # relayouts inside the jitted step (profiled at 28 ms/step in torch
+    # layout).  Loss exactness is preserved via msd_fmap_true_counts below.
+    return model.apply(
+        d_params, wav_real, wav_fake, "compute", method=HiFiGAN.discriminate
+    )
 
 
 def _generate(model: HiFiGAN, g_params, mel):
@@ -143,25 +154,52 @@ def vocoder_train_step(
 
     # ---- D step (reference: demo_ablation_modes.py:175-186) ----
     d_params, d_opt_state = state.d_params, state.d_opt_state
+    # Spectral-norm state (models/layers.py:SpectralNorm) rides inside
+    # d_params under the "spectral" collection key: it is NOT a trainable
+    # leaf (no gradients/optimizer), but advances by one power iteration per
+    # D-pass (torch n_power_iterations=1 semantics) via mutable apply.
+    spectral = d_params.get("spectral")
+    d_trainable = {"params": d_params["params"]}
     if train_d:
-        wav_fake = jax.lax.stop_gradient(_generate(model, state.g_params, mel))
+        # optimization_barrier at the generator->discriminator seam: under
+        # bf16 the TPU fusion cost model CHECK-fails (jellyfish
+        # TransformWindow) on candidates that span the generator's conv_post
+        # and the MSD's folded-ladder reshape through the [B, T_wav, 1]
+        # waveform; the barrier pins the waveform as a materialized boundary
+        # (it is one anyway) on both forward and transpose paths.
+        wav_fake = jax.lax.optimization_barrier(
+            jax.lax.stop_gradient(_generate(model, state.g_params, mel))
+        )
 
         def d_loss_fn(dp):
+            if spectral is not None:
+                outs, new_vars = model.apply(
+                    {**dp, "spectral": spectral}, wav_real, wav_fake,
+                    "compute", method=HiFiGAN.discriminate,
+                    mutable=["spectral"],
+                )
+                new_spectral = new_vars["spectral"]
+            else:
+                outs = _discriminate(model, dp, wav_real, wav_fake)
+                new_spectral = None
             (
                 msd_ro, _, msd_fo, _, mpd_ro, _, mpd_fo, _,
-            ) = cast_floats(
-                _discriminate(model, dp, wav_real, wav_fake), jnp.float32
-            )
+            ) = cast_floats(outs, jnp.float32)
             loss, d_metrics = vocoder_discriminator_loss(
                 list(msd_ro) + list(mpd_ro), list(msd_fo) + list(mpd_fo)
             )
-            return loss, d_metrics
+            return loss, (d_metrics, new_spectral)
 
-        (d_loss, d_metrics), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            d_params
+        (d_loss, (d_metrics, new_spectral)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(d_trainable)
+        d_updates, d_opt_state_new = d_opt.update(
+            d_grads, d_opt_state, d_trainable
         )
-        d_updates, d_opt_state_new = d_opt.update(d_grads, d_opt_state, d_params)
-        d_params_new = optax.apply_updates(d_params, d_updates)
+        d_params_new = optax.apply_updates(d_trainable, d_updates)
+        if new_spectral is not None:
+            new_spectral = jax.lax.stop_gradient(new_spectral)
+            d_params_new = {**d_params_new, "spectral": new_spectral}
         if d_update_every > 1:
             # gate the D update on the step counter (one jitted program;
             # grads are computed regardless so metrics stay comparable)
@@ -180,7 +218,10 @@ def vocoder_train_step(
 
     # ---- G step against the updated D (reference: demo_ablation_modes.py:194-210) ----
     def g_loss_fn(gp):
-        wav_fake = _generate(model, gp, mel).astype(jnp.float32)
+        # same barrier as the D step (fusion cost-model CHECK, see above)
+        wav_fake = jax.lax.optimization_barrier(
+            _generate(model, gp, mel).astype(jnp.float32)
+        )
         kwargs = {}
         if train_d:
             (
@@ -192,6 +233,12 @@ def vocoder_train_step(
             if loss_mode == "adv_mel_fm":
                 kwargs["real_feature_maps"] = list(msd_rf) + list(mpd_rf)
                 kwargs["fake_feature_maps"] = list(msd_ff) + list(mpd_ff)
+                dc = model.config.discriminator
+                kwargs["fmap_counts"] = msd_fmap_true_counts(
+                    wav_real.shape[2], wav_real.shape[0],
+                    channel_div=dc.channel_div, fold_max=dc.msd_fold_max,
+                    n_scales=dc.msd_scales,
+                ) + [None] * len(dc.mpd_periods)
         loss, g_metrics = vocoder_generator_loss(
             wav_real, wav_fake, audio, loss_mode=loss_mode, weights=weights, **kwargs
         )

@@ -278,6 +278,140 @@ class TestFoldedConv:
         np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_p), rtol=2e-4, atol=2e-4)
 
 
+class TestChainFoldedConv:
+    """chain_folded_conv1d: the folded-in -> folded-out conv that keeps the
+    whole MSD ladder in pseudo-channel layout (zero inter-layer relayouts)."""
+
+    @pytest.mark.parametrize(
+        "t,cin,cout,k,s,p,g,r_in,r_out,d",
+        [
+            # the full-size MSD ladder with its chained r schedule
+            (512, 1, 128, 15, 1, 7, 1, 4, 4, 1),
+            (512, 128, 128, 41, 2, 20, 4, 4, 4, 1),
+            (256, 128, 256, 41, 2, 20, 16, 4, 8, 1),
+            (128, 256, 512, 41, 4, 20, 16, 8, 4, 1),
+            (100, 512, 1024, 41, 4, 20, 16, 4, 2, 1),
+            (25, 1024, 1024, 41, 1, 20, 16, 2, 2, 1),
+            (25, 1024, 1024, 5, 1, 2, 1, 2, 2, 1),
+            (25, 1024, 1, 3, 1, 1, 1, 2, 8, 1),
+            # odd pooled lengths (MSD 2x/4x scales give T/2 + 1)
+            (257, 1, 128, 15, 1, 7, 1, 4, 4, 1),
+            (129, 128, 128, 41, 2, 20, 4, 4, 4, 1),
+            # dilation for generality
+            (200, 64, 64, 3, 1, 2, 1, 4, 4, 2),
+        ],
+    )
+    def test_exactness_vs_conv1d(self, t, cin, cout, k, s, p, g, r_in, r_out, d):
+        from sambert_hifigan_tpu.ops.conv import (
+            chain_folded_conv1d,
+            conv_out_len,
+            fold_time,
+            unfold_time,
+        )
+
+        rng = np.random.default_rng(t + cin + cout)
+        x = jnp.asarray(rng.standard_normal((2, t, cin)) * 0.3, jnp.float32)
+        w = jnp.asarray(
+            rng.standard_normal((k, cin // g, cout)) * 0.1, jnp.float32
+        )
+        b = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        ref = np.asarray(
+            conv1d(x, w, b, stride=s, padding=p, dilation=d, groups=g)
+        )
+        y_f = chain_folded_conv1d(
+            fold_time(x, r_in), w, b, t_in=t, r_in=r_in, r_out=r_out,
+            stride=s, padding=p, dilation=d, groups=g,
+        )
+        got = np.asarray(unfold_time(y_f, r_out, conv_out_len(t, k, s, p, d)))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_tail_phases_masked_to_zero(self):
+        """Dead phases of the tail block must be zero so downstream chained
+        convs read exactly the implicit zero padding (bias would otherwise
+        leak in)."""
+        from sambert_hifigan_tpu.ops.conv import chain_folded_conv1d, fold_time
+
+        rng = np.random.default_rng(1)
+        t, cin, cout, r = 10, 4, 8, 4  # t_out = 10, nb_out = 3, rem = 2
+        x = jnp.asarray(rng.standard_normal((1, t, cin)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, cin, cout)), jnp.float32)
+        b = jnp.asarray(np.full(cout, 7.0), jnp.float32)  # loud bias
+        y_f = chain_folded_conv1d(
+            fold_time(x, r), w, b, t_in=t, r_in=r, r_out=r, padding=1
+        )
+        tail = np.asarray(y_f)[0, -1].reshape(cout, r)
+        np.testing.assert_array_equal(tail[:, 2:], 0.0)
+        assert np.all(np.abs(tail[:, :2]) > 0)
+
+    def test_chained_two_layers_match_sequential(self):
+        """Layer 2 consumes layer 1's folded output directly — the property
+        that removes all inter-conv transposes from the MSD ladder."""
+        from sambert_hifigan_tpu.ops.conv import (
+            chain_folded_conv1d,
+            conv_out_len,
+            fold_time,
+            unfold_time,
+        )
+
+        rng = np.random.default_rng(2)
+        t = 101
+        x = jnp.asarray(rng.standard_normal((2, t, 8)) * 0.3, jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((41, 2, 16)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((41, 4, 32)) * 0.1, jnp.float32)
+        ref1 = conv1d(x, w1, stride=2, padding=20, groups=4)
+        t1 = conv_out_len(t, 41, 2, 20)
+        ref2 = np.asarray(conv1d(ref1, w2, stride=2, padding=20, groups=4))
+        t2 = conv_out_len(t1, 41, 2, 20)
+        h = chain_folded_conv1d(
+            fold_time(x, 4), w1, t_in=t, r_in=4, r_out=4,
+            stride=2, padding=20, groups=4,
+        )
+        h = chain_folded_conv1d(
+            h, w2, t_in=t1, r_in=4, r_out=8, stride=2, padding=20, groups=4
+        )
+        got = np.asarray(unfold_time(h, 8, t2))
+        np.testing.assert_allclose(got, ref2, rtol=1e-4, atol=1e-5)
+
+    def test_grads_match_plain_conv(self):
+        from sambert_hifigan_tpu.ops.conv import chain_folded_conv1d, fold_time
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((2, 64, 16)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((41, 4, 32)) * 0.1, jnp.float32)
+
+        def loss_plain(w_, x_):
+            return jnp.sum(jnp.square(conv1d(x_, w_, stride=2, padding=20, groups=4)))
+
+        def loss_chain(w_, x_):
+            return jnp.sum(jnp.square(chain_folded_conv1d(
+                fold_time(x_, 4), w_, t_in=64, r_in=4, r_out=4,
+                stride=2, padding=20, groups=4,
+            )))
+
+        gw_p, gx_p = jax.grad(loss_plain, argnums=(0, 1))(w, x)
+        gw_c, gx_c = jax.grad(loss_chain, argnums=(0, 1))(w, x)
+        np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_p), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_p), rtol=2e-4, atol=2e-4)
+
+    def test_fold_unfold_roundtrip(self):
+        from sambert_hifigan_tpu.ops.conv import fold_time, unfold_time
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((3, 13, 5)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(unfold_time(fold_time(x, 4), 4, 13)), np.asarray(x)
+        )
+
+    def test_rejects_bad_ratio(self):
+        from sambert_hifigan_tpu.ops.conv import chain_folded_conv1d, fold_time
+
+        x = fold_time(jnp.ones((1, 32, 4)), 8)
+        w = jnp.ones((3, 4, 4))
+        with pytest.raises(ValueError):
+            chain_folded_conv1d(x, w, t_in=32, r_in=8, r_out=2, stride=2, padding=1)
+
+
 class TestFoldedConvTranspose:
     @pytest.mark.parametrize(
         "cin,cout,k,u",

@@ -119,6 +119,78 @@ class TestMSD:
         # measured 29,622,918 (BASELINE.md) plus nothing.
         assert n == 29_622_918, n
 
+    def test_chained_matches_plain_ladder(self):
+        """The chained-folded ladder (fold_max > 1) is element-exact vs the
+        plain reference-shaped convs, logits AND all 8 torch-layout fmaps,
+        including the odd pooled scale lengths."""
+        from sambert_hifigan_tpu.models.hifigan import ScaleDiscriminator
+
+        wav = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 1, 1026)) * 0.3,
+            jnp.float32,
+        )
+        chained = ScaleDiscriminator(channel_div=4, fold_max=8)
+        plain = ScaleDiscriminator(channel_div=4, fold_max=0)
+        params = chained.init(jax.random.PRNGKey(0), wav)
+        out_c, fm_c = chained.apply(params, wav)
+        out_p, fm_p = plain.apply(params, wav)
+        np.testing.assert_allclose(
+            np.asarray(out_c), np.asarray(out_p), rtol=1e-4, atol=1e-5
+        )
+        for a, b in zip(fm_c, fm_p):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
+    def test_compute_layout_losses_exact(self):
+        """'compute' fmap layout (chained-folded maps, no unfold transposes)
+        + msd_fmap_true_counts reproduce the torch-layout FM and LSGAN losses
+        exactly — the invariance the jitted GAN step relies on."""
+        from sambert_hifigan_tpu.losses.vocoder import (
+            discriminator_loss,
+            feature_matching_loss,
+        )
+        from sambert_hifigan_tpu.models.hifigan import msd_fmap_true_counts
+
+        B, T = 2, 1026
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((B, 1, T)) * 0.3, jnp.float32)
+        y = jnp.asarray(rng.standard_normal((B, 1, T)) * 0.3, jnp.float32)
+        msd = MultiScaleDiscriminator(channel_div=4, fold_max=8)
+        params = msd.init(jax.random.PRNGKey(0), x)
+        or_t, fr_t = msd.apply(params, x, "torch")
+        of_t, ff_t = msd.apply(params, y, "torch")
+        or_c, fr_c = msd.apply(params, x, "compute")
+        of_c, ff_c = msd.apply(params, y, "compute")
+        fm_t, _ = feature_matching_loss(fr_t, ff_t)
+        counts = msd_fmap_true_counts(T, B, channel_div=4, fold_max=8)
+        fm_c, _ = feature_matching_loss(fr_c, ff_c, counts)
+        np.testing.assert_allclose(float(fm_c), float(fm_t), rtol=1e-5)
+        d_t = discriminator_loss(list(or_t), list(of_t))
+        d_c = discriminator_loss(list(or_c), list(of_c))
+        np.testing.assert_allclose(float(d_c), float(d_t), rtol=1e-6)
+
+    def test_fmap_true_counts_match_shapes(self):
+        """The static count helper must agree with the real torch-layout fmap
+        shapes (it reimplements the ladder arithmetic)."""
+        from sambert_hifigan_tpu.models.hifigan import msd_fmap_true_counts
+
+        B, T = 2, 1026
+        wav = jnp.zeros((B, 1, T))
+        msd = MultiScaleDiscriminator(channel_div=4, fold_max=8)
+        params = jax.eval_shape(msd.init, jax.random.PRNGKey(0), wav)
+        _, fmaps = jax.eval_shape(
+            lambda p, w: msd.apply(p, w, "torch"), params, wav
+        )
+        counts = msd_fmap_true_counts(T, B, channel_div=4, fold_max=8)
+        for per_scale, per_counts in zip(fmaps, counts):
+            # chained layers carry true counts; the dense tail + logits are
+            # exact in compute layout (None -> plain mean)
+            for fm, c in zip(per_scale[:6], per_counts[:6]):
+                assert c == int(np.prod(fm.shape)), (c, fm.shape)
+            assert per_counts[6] is None and per_counts[7] is None
+
 
 class TestMPD:
     def test_five_critics_six_fmaps_channel_ladder(self):

