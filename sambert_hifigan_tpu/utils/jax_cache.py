@@ -41,20 +41,25 @@ def _host_key() -> str:
     TPU cache stays at the shared top level (keeping the expensive
     tunnel-compiled training graphs warm across hosts)."""
     flags = ""
-    ident = []
+    ident: dict[str, str] = {}
+    want = ("vendor_id", "cpu family", "model", "stepping")
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                key = line.split(":", 1)[0].strip()
+                parts = line.split(":", 1)
+                if len(parts) != 2:  # e.g. a bare 'flags' line or a blank
+                    continue
+                key, val = parts[0].strip(), parts[1].strip()
                 if key == "flags" and not flags:
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                elif key in ("vendor_id", "cpu family", "model", "stepping") and len(ident) < 4:
-                    ident.append(f"{key}={line.split(':', 1)[1].strip()}")
-                if flags and len(ident) == 4:
+                    flags = " ".join(sorted(val.split()))
+                elif key in want and key not in ident:  # first CPU block wins
+                    ident[key] = val
+                if flags and len(ident) == len(want):
                     break
-    except OSError:
+    except Exception:  # best-effort fingerprint; never crash enable()
         pass
-    raw = f"{platform.machine()}|{'|'.join(sorted(ident))}|{flags}"
+    ident_s = "|".join(f"{k}={ident[k]}" for k in sorted(ident))
+    raw = f"{platform.machine()}|{ident_s}|{flags}"
     return hashlib.sha256(raw.encode()).hexdigest()[:12]
 
 
@@ -68,6 +73,57 @@ def _cpu_backend_selected() -> bool:
     return first == "cpu" or os.environ.get("SAMBERT_FORCE_CPU") == "1"
 
 
+def gc_cache_dir(base: str, budget_bytes: int) -> int:
+    """Startup mtime-sweep GC: bound `base` to `budget_bytes` by deleting the
+    OLDEST-mtime cache entries past the budget.  Returns bytes deleted.
+
+    This replaces the dropped jax LRU cap (commit d77a230): jax's own cap
+    tracks entries with `-atime` sentinel files and breaks on directories
+    that already hold cap-less entries; a plain mtime sweep at enable() time
+    has no such bookkeeping — a deleted entry is simply a cache miss.  Only
+    regular files directly under `base` are considered (per-host cpu-* subdirs
+    are separate cache roots that GC themselves when selected)."""
+    try:
+        entries = []
+        with os.scandir(base) as it:
+            for e in it:
+                if e.is_file(follow_symlinks=False):
+                    st = e.stat()
+                    entries.append((st.st_mtime, st.st_size, e.path))
+    except OSError:
+        return 0
+    total = sum(s for _, s, _ in entries)
+    if total <= budget_bytes:
+        return 0
+    entries.sort()  # oldest mtime first
+    deleted = 0
+    for _, size, path in entries:
+        if total - deleted <= budget_bytes:
+            break
+        try:
+            os.unlink(path)
+            deleted += size
+        except OSError:
+            pass
+    return deleted
+
+
+def _prune_stale_cpu_dirs(parent: str, keep: str) -> None:
+    """Remove per-SKU cpu-<hash> cache roots that no longer match this host
+    (rekeying used to orphan them forever — tens of MB each)."""
+    import re
+    import shutil
+
+    try:
+        with os.scandir(parent) as it:
+            names = [e.name for e in it if e.is_dir(follow_symlinks=False)]
+    except OSError:
+        return
+    for name in names:
+        if re.fullmatch(r"cpu-[0-9a-f]{12}", name) and name != keep:
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def enable(cache_dir: str | None = None) -> bool:
     """Turn on the persistent compilation cache. Returns True if enabled.
 
@@ -79,14 +135,19 @@ def enable(cache_dir: str | None = None) -> bool:
 
     base = cache_dir or os.environ.get("SAMBERT_JAX_CACHE_DIR", DEFAULT_DIR)
     if _cpu_backend_selected():
-        base = os.path.join(base, "cpu-" + _host_key())
+        key = "cpu-" + _host_key()
+        _prune_stale_cpu_dirs(base, key)
+        base = os.path.join(base, key)
+    budget_mb = int(os.environ.get("SAMBERT_JAX_CACHE_BUDGET_MB", "4096"))
+    if budget_mb > 0:
+        gc_cache_dir(base, budget_mb * (1 << 20))
     jax.config.update("jax_compilation_cache_dir", base)
     # Cache EVERY compile, even sub-second ones: a cold process issues
     # hundreds of small dispatch-level compiles (measured: ~800 sub-1s
     # compiles per multichip dryrun at ~0.3s each on a 1-core host — minutes
     # of wall clock that a >=1s threshold silently re-pays every run).
-    # Growth is modest (tens of MB of small entries on top of the big train
-    # graphs) and NOT LRU-capped: jax's lru_cache layer tracks entries with
+    # Growth is bounded by gc_cache_dir above (mtime sweep at enable time),
+    # NOT by jax's LRU cap: jax's lru_cache layer tracks entries with
     # `-atime` sentinel files, and capping a directory that already holds
     # cap-less entries makes every subsequent write fail with
     # FileNotFoundError on the missing sentinel (observed on this image).
