@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import threading
 from pathlib import Path
 from typing import Any, Optional, Tuple
 
@@ -21,6 +22,13 @@ import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from ..config import AudioConfig, ConfigError, mel_config_fingerprint
+
+# Fields downcast by --save-precision bf16: discriminator weights and ALL
+# optimizer moments.  Master (generator/acoustic) params and EMA copies stay
+# f32 — they are what inference loads.  Halves the ~900 MB GAN checkpoint
+# that the demo runs measured taking minutes through this image's tunnel
+# (docs/demo_run_v2/REPORT.md).
+_BF16_FIELDS = ("d_params", "d_opt_state", "g_opt_state", "opt_state")
 
 # EMA leaf -> the parameter tree it averages (training/optim.py).  Used to
 # reconcile EMA presence between a checkpoint and the resume target, so
@@ -48,22 +56,96 @@ class CheckpointManager:
         self.keep = keep
         # Synchronous checkpointer: orbax's AsyncCheckpointer trips a
         # "cannot schedule new futures after shutdown" on repeated saves
-        # under Python 3.12 in this image.
+        # under Python 3.12 in this image.  Background saves are provided by
+        # save(..., background=True) instead: a device-side snapshot + one
+        # plain thread around this synchronous checkpointer.
         self._ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+        self._save_thread: Optional[threading.Thread] = None
+        self._save_error: Optional[BaseException] = None
 
     def _step_dir(self, step: int) -> Path:
         return self.directory / f"step_{step:09d}"
 
-    def save(self, step: int, state: Any) -> None:
-        path = self._step_dir(step)
-        self._ckptr.save(path / "state", state)
+    @staticmethod
+    def _cast_for_save(state: Any, precision: Optional[str]) -> Any:
+        """Downcast the _BF16_FIELDS subtrees' f32 leaves to bf16 (restore
+        casts them back — see restore()).  precision None/'f32' is identity."""
+        if precision in (None, "f32", "float32"):
+            return state
+        if precision != "bf16":
+            raise ValueError(f"unknown save precision: {precision!r}")
+        if not dataclasses.is_dataclass(state):
+            return state
+        cast = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            t,
+        )
+        names = {f.name for f in dataclasses.fields(state)}
+        repl = {n: cast(getattr(state, n)) for n in _BF16_FIELDS if n in names}
+        return dataclasses.replace(state, **repl)
+
+    def wait(self) -> None:
+        """Block until any in-flight background save lands (and re-raise its
+        error, if it failed)."""
+        t = self._save_thread
+        if t is not None:
+            t.join()
+            self._save_thread = None
+        if self._save_error is not None:
+            err, self._save_error = self._save_error, None
+            raise err
+
+    def save(
+        self,
+        step: int,
+        state: Any,
+        precision: Optional[str] = None,
+        background: bool = False,
+    ) -> None:
+        """Write a checkpoint.  background=True snapshots the state on-device
+        (donation-safe: the trainer's next step can reuse the old buffers)
+        and runs the device->host fetch + disk write on a thread, so a save
+        no longer stalls training for the multi-minute tunnel transfer
+        (VERDICT r03 item 5).  One save is in flight at a time; errors
+        surface on the next save()/wait()."""
+        state = self._cast_for_save(state, precision)
         meta = {
             "step": int(step),
             "mel_fingerprint": list(map(str, mel_config_fingerprint(self.audio))),
         }
+        if precision:
+            meta["precision"] = precision
         field = _ema_field(state)
         if field is not None:
             meta["ema"] = getattr(state, field) is not None
+        if not background:
+            self.wait()
+            self._write(step, state, meta)
+            return
+        # Device-side copy detaches the snapshot from donated buffers; HBM
+        # copies are cheap next to the host fetch the thread will do.
+        snap = jax.tree.map(
+            lambda x: jnp.array(x, copy=True) if isinstance(x, jax.Array) else x,
+            state,
+        )
+        self.wait()
+
+        def run():
+            try:
+                self._write(step, jax.device_get(snap), meta)
+            except BaseException as e:  # surfaced by the next wait()
+                self._save_error = e
+
+        self._save_thread = threading.Thread(
+            target=run, name=f"ckpt-save-{step}", daemon=True
+        )
+        self._save_thread.start()
+
+    def _write(self, step: int, state: Any, meta: dict) -> None:
+        path = self._step_dir(step)
+        self._ckptr.save(path / "state", state)
         (path / "meta.json").write_text(json.dumps(meta))
         self._gc()
 
@@ -123,11 +205,29 @@ class CheckpointManager:
         path, step = self._validated_step_dir(step)
         return self._ckptr.restore(path / "state"), step
 
+    def _restore_shaped(self, path: Path, shaped: Any, precision) -> Any:
+        """Restore into `shaped`'s structure, honoring a bf16-saved
+        checkpoint: the abstract target mirrors the save-time downcast, and
+        restored leaves are upcast back to the caller's dtypes."""
+        as_saved = self._cast_for_save(shaped, precision)
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, as_saved)
+        state = self._ckptr.restore(path / "state", abstract)
+        if precision == "bf16":
+            state = jax.tree.map(
+                lambda t, s: s.astype(t.dtype)
+                if hasattr(t, "dtype") and hasattr(s, "dtype") and s.dtype != t.dtype
+                else s,
+                shaped,
+                state,
+            )
+        return state
+
     def restore(self, target: Any, step: Optional[int] = None) -> Tuple[Any, int]:
         """Restore into the structure of `target` (an abstract or concrete
         state pytree).  Validates the mel fingerprint."""
         path, step = self._validated_step_dir(step)
         meta = json.loads((path / "meta.json").read_text())
+        precision = meta.get("precision")
         field = _ema_field(target)
         ckpt_ema = bool(meta.get("ema", False))
         tgt_ema = field is not None and getattr(target, field) is not None
@@ -139,18 +239,15 @@ class CheckpointManager:
                 shaped = dataclasses.replace(
                     target, **{field: getattr(target, src)}
                 )
-                abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, shaped)
-                state = self._ckptr.restore(path / "state", abstract)
+                state = self._restore_shaped(path, shaped, precision)
                 state = dataclasses.replace(state, **{field: None})
             else:
                 # EMA newly enabled on a pre-EMA checkpoint: restore without
                 # it and seed the average from the restored parameters.
                 bare = dataclasses.replace(target, **{field: None})
-                abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, bare)
-                state = self._ckptr.restore(path / "state", abstract)
+                state = self._restore_shaped(path, bare, precision)
                 seed = jax.tree.map(jnp.array, getattr(state, src))
                 state = dataclasses.replace(state, **{field: seed})
             return state, step
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
-        state = self._ckptr.restore(path / "state", abstract)
+        state = self._restore_shaped(path, target, precision)
         return state, step

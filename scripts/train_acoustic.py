@@ -57,6 +57,13 @@ def parse_args():
     p.add_argument("--no-prefetch", dest="prefetch", action="store_const",
                    const="off", help="alias for --prefetch off")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save-precision", choices=["f32", "bf16"], default="f32",
+                   help="bf16 downcasts the optimizer state on save "
+                        "(master params/EMA stay f32; training/checkpoint.py)")
+    p.add_argument("--sync-save", action="store_true",
+                   help="block training during checkpoint writes (default: "
+                        "interval saves snapshot on-device and write on a "
+                        "background thread)")
     p.add_argument("--tensorboard", action="store_true",
                    help="mirror scalars into TensorBoard event files")
     p.add_argument("--scheduled-sampling", type=float, default=None,
@@ -203,10 +210,12 @@ def main():
                 print(writer.summary_line(i + 1, host,
                                           ["total_loss", "mel_loss", "dur_loss"]))
             if (i + 1) % save_interval == 0:
-                ckpt.save(i + 1, jax.device_get(state))
+                ckpt.save(i + 1, state, precision=args.save_precision,
+                          background=not args.sync_save)
     except TrainingDiverged as e:
+        ckpt.wait()
         if ckpt.latest_step() != last_step:
-            ckpt.save(last_step, jax.device_get(state))
+            ckpt.save(last_step, state, precision=args.save_precision)
         writer.close()
         raise SystemExit(
             f"[train_acoustic] DIVERGED: {e}; state saved at step {last_step} "
@@ -215,15 +224,16 @@ def main():
     finally:
         if isinstance(batches, Prefetcher):
             batches.close()
+    ckpt.wait()
     if shutdown.requested:
         if ckpt.latest_step() != last_step:
-            ckpt.save(last_step, jax.device_get(state))
+            ckpt.save(last_step, state, precision=args.save_precision)
         writer.close()
         print(f"[train_acoustic] interrupted at step {last_step}; "
               f"resumable checkpoint in {ckpt_dir} (--resume)")
         return
     if ckpt.latest_step() != total_steps:  # interval save may already cover it
-        ckpt.save(total_steps, jax.device_get(state))
+        ckpt.save(total_steps, state, precision=args.save_precision)
     writer.close()  # flush buffered TensorBoard events (the tail of the run)
     print(f"[train_acoustic] done at step {total_steps}; checkpoints in {ckpt_dir}")
 

@@ -57,6 +57,57 @@ class TestCheckpoint:
         with pytest.raises(ConfigError, match="mel"):
             drifted.restore(_state())
 
+    def test_background_save_roundtrip(self, tmp_path):
+        """background=True snapshots on-device and writes on a thread; the
+        checkpoint is complete and exact after wait()."""
+        mgr = CheckpointManager(str(tmp_path), AudioConfig())
+        state = _state()
+        mgr.save(7, state, background=True)
+        mgr.wait()
+        restored, step = mgr.restore(_state(seed=1))
+        assert step == 7
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_background_save_serializes_with_next_save(self, tmp_path):
+        """A second save waits out the in-flight one — no interleaving, the
+        latest step always lands."""
+        mgr = CheckpointManager(str(tmp_path), AudioConfig())
+        mgr.save(1, _state(0), background=True)
+        mgr.save(2, _state(1), background=True)
+        mgr.wait()
+        assert mgr.all_steps() == [1, 2]
+
+    def test_bf16_precision_halves_opt_state_and_restores(self, tmp_path):
+        """--save-precision bf16: optimizer leaves are stored bf16 (half the
+        bytes), params stay f32 exact; restore() upcasts back to the target's
+        f32 structure within bf16 tolerance."""
+        mgr = CheckpointManager(str(tmp_path), AudioConfig())
+        rng = np.random.default_rng(3)
+        state = _state()
+        state = dataclasses.replace(
+            state,
+            opt_state={"mu": jax.tree.map(
+                lambda x: jnp.asarray(rng.standard_normal(x.shape), jnp.float32),
+                state.params,
+            )},
+        )
+        mgr.save(7, state, precision="bf16")
+        # raw tree view: opt leaves bf16, params f32
+        raw, _ = mgr.restore_tree()
+        raw_opt_leaf = jax.tree.leaves(raw["opt_state"])[0]
+        raw_param_leaf = jax.tree.leaves(raw["params"])[0]
+        assert raw_opt_leaf.dtype == jnp.bfloat16
+        assert raw_param_leaf.dtype == jnp.float32
+        # structural restore into an f32 target upcasts
+        restored, step = mgr.restore(_state(seed=1))
+        assert step == 7
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
+            assert b.dtype == jnp.float32
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=8e-3, atol=8e-3)
+
     def test_gc_keeps_latest_n(self, tmp_path):
         mgr = CheckpointManager(str(tmp_path), AudioConfig(), keep=2)
         for s in (1, 2, 3, 4):
