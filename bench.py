@@ -278,6 +278,28 @@ def main():
         f"aggregate; 2x sequential B=8 = {2 * b8_t * 1e3:.1f} ms "
         f"({b16_vs_2xb8:.2f}x win)")
 
+    # Streaming time-to-first-chunk (pipeline.stream: chunked AR decode +
+    # windowed vocode) — the interactive-serving headline.  Measured warm,
+    # wall-clock including the host syncs the stream inherently makes
+    # (decode-chunk fetches + the chunk's wav fetch); on this image those
+    # ride a ~30 ms-RTT tunnel, so the raw number is an upper bound vs an
+    # attached host.
+    chunk_frames, context_frames = 32, 16
+    for _ in pipe.stream(text, chunk_frames, context_frames):
+        pass  # warm: compiles every stream graph (encode/chunk-decode/vocode)
+    ttfb = None
+    for _ in range(5):
+        t0 = time.perf_counter()
+        it = pipe.stream(text, chunk_frames, context_frames)
+        next(it)
+        dt = time.perf_counter() - t0
+        it.close()
+        ttfb = dt if ttfb is None else min(ttfb, dt)
+    first_audio_ms = chunk_frames * hop / sr * 1e3
+    log(f"stream TTFB (chunk={chunk_frames}, ctx={context_frames}): "
+        f"{ttfb * 1e3:.1f} ms to the first {first_audio_ms:.0f} ms of audio "
+        f"(includes ~3 host syncs x {rtt * 1e3:.0f} ms tunnel RTT)")
+
     train_metrics = bench_training(rtt)
 
     print(
@@ -294,6 +316,9 @@ def main():
                 # weight stream) vs two sequential half-batch launches
                 "decode_b16_frames_per_s": round(b16_fps, 0),
                 "decode_b16_vs_2x_b8": round(b16_vs_2xb8, 2),
+                # warm time-to-first-chunk of pipeline.stream (32-frame
+                # chunks = 372 ms of audio per chunk; raw wall incl. tunnel)
+                "stream_ttfb_ms": round(ttfb * 1e3, 1),
                 # train-step surfaces (bs16, reference shapes, bf16 recipe)
                 **train_metrics,
             }

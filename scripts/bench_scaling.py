@@ -67,6 +67,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dims", default="256,512,1024")
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batches", default=None,
+                    help="comma list of batch sizes to sweep at FIXED width "
+                         "(e.g. --dims 256 --batches 16,32,64,128): the "
+                         "occupancy lever at reference width — if the step "
+                         "is latency-bound at B=16, wider batches buy nearly "
+                         "free utterances/s (VERDICT r03 item 2)")
     ap.add_argument("--tph", type=int, default=48)
     ap.add_argument("--tfrm", type=int, default=384)
     args = ap.parse_args()
@@ -84,44 +90,57 @@ def main():
     peak = peak_flops()
     log(f"host<->device rtt: {rtt * 1e3:.1f} ms")
 
+    batches = (
+        [int(x) for x in args.batches.split(",")]
+        if args.batches
+        else [args.batch]
+    )
     rows = []
     for d in (int(x) for x in args.dims.split(",")):
         cfg = scaled_cfg(d)
         model = SAMBERTAcousticModel(cfg.acoustic_model)
-        state = init_acoustic_state(
+        state0 = init_acoustic_state(
             model, cfg, jax.random.PRNGKey(0),
             tph=args.tph, max_frames=args.tfrm, batch=1,
         )
-        n_params = sum(x.size for x in jax.tree.leaves(state.params))
-        batch = {
-            k: jnp.asarray(v)
-            for k, v in synthetic_batch(cfg, args.batch, args.tph, args.tfrm).items()
-        }
+        n_params = sum(x.size for x in jax.tree.leaves(state0.params))
         step = make_jitted_acoustic_step(model, cfg)
-        flops = compiled_flops(step, state, batch, jax.random.PRNGKey(1))
+        for b in batches:
+            state = jax.tree.map(jnp.array, state0)
+            batch = {
+                k: jnp.asarray(v)
+                for k, v in synthetic_batch(cfg, b, args.tph, args.tfrm).items()
+            }
+            flops = compiled_flops(step, state, batch, jax.random.PRNGKey(1))
 
-        t0 = time.perf_counter()
-        best = measure_step_rate(
-            step, state, (batch, jax.random.PRNGKey(1)), rtt
-        )
-        log(f"d={d}: measured in {time.perf_counter() - t0:.1f}s "
-            f"(incl. compile), params {n_params / 1e6:.1f}M")
+            t0 = time.perf_counter()
+            best = measure_step_rate(
+                step, state, (batch, jax.random.PRNGKey(1)), rtt
+            )
+            log(f"d={d} B={b}: measured in {time.perf_counter() - t0:.1f}s "
+                f"(incl. compile), params {n_params / 1e6:.1f}M")
 
-        row = {
-            "d_model": d,
-            "params_m": round(n_params / 1e6, 1),
-            "ms_per_step": round(best * 1e3, 2),
-            "steps_per_s": round(1.0 / best, 2),
-        }
-        if flops:
-            row["gflop_per_step"] = round(flops / 1e9, 1)
-            row["tflops"] = round(flops / best / 1e12, 1)
-            if peak:
-                row["mfu"] = round(flops / best / peak, 3)
-        rows.append(row)
-        log(f"d={d}: {row}")
+            row = {
+                "d_model": d,
+                "batch": b,
+                "params_m": round(n_params / 1e6, 1),
+                "ms_per_step": round(best * 1e3, 2),
+                "steps_per_s": round(1.0 / best, 2),
+                "utterances_per_s": round(b / best, 0),
+            }
+            if flops:
+                row["gflop_per_step"] = round(flops / 1e9, 1)
+                row["tflops"] = round(flops / best / 1e12, 1)
+                if peak:
+                    row["mfu"] = round(flops / best / peak, 3)
+            rows.append(row)
+            log(f"d={d} B={b}: {row}")
 
-    print(json.dumps({"metric": "acoustic_train_mfu_vs_width", "rows": rows}))
+    metric = (
+        "acoustic_train_mfu_vs_batch" if args.batches
+        else "acoustic_train_mfu_vs_width"
+    )
+    print(json.dumps({"metric": metric, "rows": rows}))
 
 
 if __name__ == "__main__":

@@ -186,3 +186,72 @@ def test_vocoder_tp_matches_single_device():
         np.testing.assert_allclose(
             float(m1b[k]), float(m2b[k]), rtol=2e-3, err_msg=f"step2:{k}"
         )
+
+
+def _collective_counts(compiled_text):
+    import re
+
+    kinds = ("all-reduce", "all-gather", "all-to-all",
+             "collective-permute", "reduce-scatter")
+    return {
+        k: len(re.findall(rf"%{k}(?:-start)?[.\d]*? = ", compiled_text))
+        or len(re.findall(rf"\b{k}(?:-start)?\(", compiled_text))
+        for k in kinds
+    }
+
+
+def test_collective_inventory_of_partitioned_gan_step():
+    """Audit the collectives XLA's partitioner emits for the GAN train step
+    (VERDICT r03 item 9; expected set documented in docs/architecture.md):
+
+    * dp-only (data=8): gradient all-reduces over the data axis; NO
+      all-to-all and no collective-permute.  (The XLA:CPU partitioner also
+      emits batch-axis all-gathers around the discriminators' leaky-relu
+      backward fusions — present identically with the plain fold_max=0
+      ladder, i.e. a lowering artifact of this emulation backend, not of the
+      chained-folded layout; see docs/architecture.md.)
+    * dp x tp (data=4, model=2): adds weight all-gathers (shape-rule TP
+      stores parameters sharded; the partitioner gathers each weight at its
+      use site — ZeRO-3-like storage sharding) and a small bounded set of
+      all-to-alls from regrouping grouped-conv gradients on the model axis.
+      The r02 CPU-emulation deadlock lived in exactly these all-to-alls;
+      this pins their population so growth is a visible diff, not a surprise.
+    """
+    cfg = dataclasses.replace(
+        _cfg(), vocoder=dataclasses.replace(TINY_VOC, loss_mode="adv_mel_fm")
+    )
+    model = HiFiGAN(cfg.vocoder)
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.standard_normal((4, 80, 8)), jnp.float32)
+    wav = jnp.asarray(rng.standard_normal((4, 1, 8 * 256)) * 0.1, jnp.float32)
+    state = init_vocoder_state(model, cfg, jax.random.PRNGKey(0), mel_frames=8)
+    snap = jax.device_get(state)
+
+    # dp-only: all 8 devices on 'data'
+    mesh_dp = create_mesh(data=8, model=1)
+    state_dp = shard_tree(jax.tree.map(jnp.asarray, snap), mesh_dp)
+    step_dp = make_jitted_vocoder_step(model, cfg)
+    mel8 = jnp.concatenate([mel, mel])
+    wav8 = jnp.concatenate([wav, wav])
+    hlo_dp = step_dp.lower(
+        state_dp, *shard_batch((mel8, wav8), mesh_dp)
+    ).compile().as_text()
+    dp = _collective_counts(hlo_dp)
+    assert dp["all-to-all"] == 0, dp
+    assert dp["collective-permute"] == 0, dp
+    assert dp["all-reduce"] > 0, dp  # the gradient psums
+
+    # dp x tp
+    mesh_tp = create_mesh(data=4, model=2)
+    state_tp = shard_tree(jax.tree.map(jnp.asarray, snap), mesh_tp)
+    step_tp = make_jitted_vocoder_step(model, cfg)
+    hlo_tp = step_tp.lower(
+        state_tp, *shard_batch((mel, wav), mesh_tp)
+    ).compile().as_text()
+    tp = _collective_counts(hlo_tp)
+    assert tp["all-reduce"] > 0, tp
+    assert tp["all-gather"] > 0, tp  # TP weight gathers at use sites
+    # the bounded model-axis regrouping set (measured 4 on this program);
+    # anything larger means the partitioner started moving activations
+    assert tp["all-to-all"] <= 6, tp
+    assert tp["reduce-scatter"] == 0, tp
