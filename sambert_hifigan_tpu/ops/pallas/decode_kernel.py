@@ -188,7 +188,7 @@ def _decode_kernel(
             m = jnp.max(scores, axis=0, keepdims=True)
             e = jnp.exp(scores - m)
             s = jnp.sum(e, axis=0, keepdims=True)
-            w = (e / s).astype(bf16)  # [S, H]
+            w = (e / s).astype(bf16)  # [S, Hpad]
             wexp = jnp.dot(w, g_ref[:].T, preferred_element_type=f32)
             outs.append(
                 jnp.sum(wexp * values.astype(f32), axis=0, keepdims=True)
@@ -197,47 +197,37 @@ def _decode_kernel(
 
     stage_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
 
-    def attend_self(q32, l, k_t, v_t, t, base):
-        """Causal self-attention for all batch rows over three key/value
-        sources per row b:
+    def attend_self(q32, l, j, base):
+        """Causal self-attention for all batch rows over two key/value
+        sources per row b (the current step's K/V are ALREADY staged at row
+        j by layer_body, collapsing the old three-source softmax):
           kcache/vcache[l*B+b] [T, D]  flushed cache rows  (valid: row < base)
-          kstage/vstage[l*B+b] [8, D]  staging rows        (valid: row < t - base)
-          k_t/v_t[b]           [1, D]  the current step    (always valid)
-        One softmax across all parts (the flushed cache is never rewritten
-        per step — the masked O(T) read-modify-write this replaces was the
-        kernel's dominant VPU cost).  Returns [SUB, D] f32."""
+          kstage/vstage[l*B+b] [8, D]  staging rows        (valid: row <= j)
+        The flushed cache is never rewritten per step — the masked O(T)
+        read-modify-write this replaces was the kernel's dominant VPU cost.
+        Returns [SUB, D] f32."""
         mask1 = (t_iota >= base).astype(f32) * neg
-        mask2 = (stage_iota >= t - base).astype(f32) * neg
+        mask2 = (stage_iota > j).astype(f32) * neg
         outs = []
         for b in range(B):
             qrow = (q32[b : b + 1, :] / np.sqrt(DH)).astype(bf16)
             keys, values = kcache[l * B + b], vcache[l * B + b]
             kst, vst = kstage[l * B + b], vstage[l * B + b]
-            know = k_t[b : b + 1, :]
-            vnow = v_t[b : b + 1, :]
             s1 = jnp.dot((keys * qrow).astype(bf16), g_ref[:],
-                         preferred_element_type=f32)  # [T, H]
-            s1 = s1 + mask1
+                         preferred_element_type=f32) + mask1  # [T, H]
             s2 = jnp.dot((kst * qrow).astype(bf16), g_ref[:],
-                         preferred_element_type=f32)  # [8, H]
-            s2 = s2 + mask2
-            s3 = jnp.dot((know * qrow).astype(bf16), g_ref[:],
-                         preferred_element_type=f32)  # [1, H]
+                         preferred_element_type=f32) + mask2  # [8, H]
             m = jnp.maximum(
                 jnp.max(s1, axis=0, keepdims=True),
-                jnp.maximum(jnp.max(s2, axis=0, keepdims=True), s3),
+                jnp.max(s2, axis=0, keepdims=True),
             )
             e1 = jnp.exp(s1 - m)
             e2 = jnp.exp(s2 - m)
-            e3 = jnp.exp(s3 - m)
-            denom = (
-                jnp.sum(e1, axis=0, keepdims=True)
-                + jnp.sum(e2, axis=0, keepdims=True)
-                + e3
+            denom = jnp.sum(e1, axis=0, keepdims=True) + jnp.sum(
+                e2, axis=0, keepdims=True
             )
             w1 = (e1 / denom).astype(bf16)
             w2 = (e2 / denom).astype(bf16)
-            w3 = (e3 / denom).astype(bf16)
             o = jnp.sum(
                 jnp.dot(w1, g_ref[:].T, preferred_element_type=f32)
                 * values.astype(f32),
@@ -248,19 +238,15 @@ def _decode_kernel(
                 * vst.astype(f32),
                 axis=0, keepdims=True,
             )
-            o = o + jnp.dot(
-                w3, g_ref[:].T, preferred_element_type=f32
-            ) * vnow.astype(f32)
             outs.append(o)
         return pad_rows(outs)
 
-    stage3_iota = jax.lax.broadcasted_iota(jnp.int32, (L * B, SUB, 1), 1)
     mstage_iota = jax.lax.broadcasted_iota(jnp.int32, (B, SUB, 1), 1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
 
     def step(t, _):
         base = (t // 8) * 8
-        new_k, new_v = [], []
+        j = t - base
         # prenet on the previous mel frames (rows 0..B-1)
         x = jnp.dot(
             mel_s[:].astype(bf16), prenet_w1_ref[:NMEL, :],
@@ -303,9 +289,24 @@ def _decode_kernel(
             q = qkv[:, :D]
             k_t = qkv[:, D : 2 * D].astype(bf16)  # rows 0..B-1 live
             v_t = qkv[:, 2 * D :].astype(bf16)
-            new_k.append(k_t)
-            new_v.append(v_t)
-            sa = attend_self(q, l, k_t, v_t, t, base)
+            # stage this layer's K/V at row j BEFORE attending: the softmax
+            # then runs over just cache + stage (two sources, not three)
+            sel = stage_iota == j  # [SUB, 1]
+            k_rows = jnp.concatenate(
+                [k_t[b : b + 1][None] for b in range(B)], axis=0
+            )  # [B, 1, D]
+            v_rows = jnp.concatenate(
+                [v_t[b : b + 1][None] for b in range(B)], axis=0
+            )
+            kstage[l * B : (l + 1) * B] = jnp.where(
+                sel[None], jnp.broadcast_to(k_rows, (B, SUB, D)),
+                kstage[l * B : (l + 1) * B],
+            )
+            vstage[l * B : (l + 1) * B] = jnp.where(
+                sel[None], jnp.broadcast_to(v_rows, (B, SUB, D)),
+                vstage[l * B : (l + 1) * B],
+            )
+            sa = attend_self(q, l, j, base)
             sa = jnp.dot(sa.astype(bf16), wo_s[slot], preferred_element_type=f32)
             sa = sa + biases_ref[l, 1:2, :D]
             x = ln(x + sa, 3 * l + 0)
@@ -334,22 +335,8 @@ def _decode_kernel(
         # steps (they feed back through the prenet matmul)
         mel_s[:] = jnp.where(row_iota < B, mel_t, 0.0)
 
-        # stage this step's K/V (all layers at once) and mel rows: an O(8)
-        # masked write instead of the O(T) cache rewrite
-        j = t - base
-        stage_mask = stage3_iota == j  # [L*B, 8, 1]
-        ks = jnp.concatenate(
-            [k[b : b + 1][None] for k in new_k for b in range(B)], axis=0
-        )  # [L*B, 1, D]
-        vs = jnp.concatenate(
-            [v[b : b + 1][None] for v in new_v for b in range(B)], axis=0
-        )
-        kstage[:] = jnp.where(
-            stage_mask, jnp.broadcast_to(ks, (L * B, SUB, D)), kstage[:]
-        )
-        vstage[:] = jnp.where(
-            stage_mask, jnp.broadcast_to(vs, (L * B, SUB, D)), vstage[:]
-        )
+        # stage this step's mel rows (K/V were staged per layer above): an
+        # O(8) masked write instead of the O(T) output rewrite
         mel_rows = jnp.concatenate(
             [mel_t[b : b + 1][None] for b in range(B)], axis=0
         )  # [B, 1, NMEL]
