@@ -76,6 +76,12 @@ def parse_args():
     p.add_argument("--lr-decay-gamma", type=float, default=None,
                    help="exponential schedule: multiply lr by this every "
                         "--lr-decay-steps steps (default 0.999)")
+    p.add_argument("--warmup-steps", type=int, default=None,
+                   help="linear LR warmup steps (any schedule)")
+    p.add_argument("--lr-total-steps", type=int, default=None,
+                   help="warmup_cosine: step count at which the cosine "
+                        "reaches its floor (set this to --steps for a "
+                        "full-run decay; default 200000)")
     p.add_argument("--lr-decay-steps", type=int, default=None,
                    help="exponential schedule: decay interval in steps "
                         "(default 1000)")
@@ -96,6 +102,8 @@ def stage_overrides(tr, args):
         ("lr_schedule", args.lr_schedule),
         ("lr_decay_gamma", args.lr_decay_gamma),
         ("lr_decay_steps", args.lr_decay_steps),
+        ("warmup_steps", args.warmup_steps),
+        ("lr_total_steps", args.lr_total_steps),
         ("ema_decay", args.ema_decay),
         ("accumulate_steps", args.accumulate_steps),
     ):
