@@ -75,6 +75,18 @@ def mcd(
     return float((10.0 / np.log(10.0)) * np.sqrt(2.0) * np.mean(dist))
 
 
+def dtw_mel_path(
+    ma: np.ndarray, mb: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Optimal DTW frame alignment between two [T, n_mels] log-mels.
+
+    Returns (path_a, path_b) index arrays of equal length (monotone,
+    step-adjacent).  Shared by mel_mae_dtw and f0_metrics_dtw so the F0
+    comparison rides the SAME alignment as the spectral one."""
+    pa, pb = _dtw(ma, mb)[1:]
+    return pa, pb
+
+
 def mel_mae_dtw(
     wav_a: np.ndarray,
     wav_b: np.ndarray,
@@ -83,14 +95,20 @@ def mel_mae_dtw(
     """Alignment-invariant mel-MAE: DTW over frames, then mean |diff| along
     the optimal path.  Full TTS predicts its own durations, so a frame-wise
     comparison against the recording conflates timing drift with spectral
-    error; DTW isolates the spectral part (standard practice for TTS MCD).
+    error; DTW isolates the spectral part (standard practice for TTS MCD)."""
+    audio = audio or AudioConfig()
+    ma = np.asarray(log_mel_spectrogram(jnp.asarray(wav_a, jnp.float32), audio)).T
+    mb = np.asarray(log_mel_spectrogram(jnp.asarray(wav_b, jnp.float32), audio)).T
+    return _dtw(ma, mb)[0]
+
+
+def _dtw(ma: np.ndarray, mb: np.ndarray):
+    """DTW between [T, n_mels] sequences.  Returns (mean path cost,
+    path_a indices, path_b indices).
 
     Row-vectorized DP (one numpy pass per reference frame); cost rows are
     computed on the fly, so memory is O(ta*tb) for the DP table plus one
     [tb, n_mels] row — minutes-long audio stays tractable."""
-    audio = audio or AudioConfig()
-    ma = np.asarray(log_mel_spectrogram(jnp.asarray(wav_a, jnp.float32), audio)).T
-    mb = np.asarray(log_mel_spectrogram(jnp.asarray(wav_b, jnp.float32), audio)).T
     ta, tb = ma.shape[0], mb.shape[0]
     acc = np.empty((ta, tb), np.float64)
     move = np.empty((ta, tb), np.int8)  # 0=diag, 1=up (i-1), 2=left (j-1)
@@ -117,8 +135,11 @@ def mel_mae_dtw(
     # backtrack for the mean over the optimal path
     i, j = ta - 1, tb - 1
     path_cost, steps = 0.0, 0
+    pa, pb = [], []
     while True:
         path_cost += float(np.abs(ma[i] - mb[j]).mean())
+        pa.append(i)
+        pb.append(j)
         steps += 1
         if i == 0 and j == 0:
             break
@@ -131,7 +152,11 @@ def mel_mae_dtw(
             j -= 1
         else:
             i -= 1
-    return float(path_cost / steps)
+    return (
+        float(path_cost / steps),
+        np.asarray(pa[::-1], np.int64),
+        np.asarray(pb[::-1], np.int64),
+    )
 
 
 def stft_logmag_mae(
@@ -194,5 +219,46 @@ def f0_metrics(
     tp = float((v_r & v_s).sum())
     prec = tp / max(float(v_s.sum()), 1.0)
     rec = tp / max(float(v_r.sum()), 1.0)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    return {"f0_rmse_hz": rmse, "voicing_f1": float(f1)}
+
+
+def f0_metrics_dtw(
+    wav_ref: np.ndarray,
+    wav_syn: np.ndarray,
+    audio: Optional[AudioConfig] = None,
+) -> dict:
+    """Alignment-invariant F0 metrics for full TTS: align frames with the
+    SAME mel-DTW path as mel_mae_dtw (predicted durations need not match the
+    recording), then compare autocorrelation F0 over path pairs voiced on
+    both sides.  Returns {"f0_rmse_hz", "voicing_f1"} like f0_metrics."""
+    from ..data.features import extract_f0
+
+    audio = audio or AudioConfig()
+    ma = np.asarray(
+        log_mel_spectrogram(jnp.asarray(wav_ref, jnp.float32), audio)
+    ).T
+    mb = np.asarray(
+        log_mel_spectrogram(jnp.asarray(wav_syn, jnp.float32), audio)
+    ).T
+    _, pa, pb = _dtw(ma, mb)
+    f0_r, v_r = extract_f0(jnp.asarray(wav_ref, jnp.float32), audio)
+    f0_s, v_s = extract_f0(jnp.asarray(wav_syn, jnp.float32), audio)
+    f0_r, v_r = np.asarray(f0_r), np.asarray(v_r)
+    f0_s, v_s = np.asarray(f0_s), np.asarray(v_s)
+    # F0 frames share the mel hop; clamp the path to the shorter F0 track
+    pa = np.clip(pa, 0, len(f0_r) - 1)
+    pb = np.clip(pb, 0, len(f0_s) - 1)
+    r, s = f0_r[pa], f0_s[pb]
+    vr, vs = v_r[pa], v_s[pb]
+    both = vr & vs
+    rmse = (
+        float(np.sqrt(np.mean((r[both] - s[both]) ** 2)))
+        if both.any()
+        else float("nan")
+    )
+    tp = float((vr & vs).sum())
+    prec = tp / max(float(vs.sum()), 1.0)
+    rec = tp / max(float(vr.sum()), 1.0)
     f1 = 2 * prec * rec / max(prec + rec, 1e-9)
     return {"f0_rmse_hz": rmse, "voicing_f1": float(f1)}

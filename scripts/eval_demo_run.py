@@ -54,7 +54,12 @@ def main():
     from sambert_hifigan_tpu.training.vocoder_trainer import (
         generator_params_from_tree,
     )
-    from sambert_hifigan_tpu.utils.eval_metrics import mcd, mel_mae, mel_mae_dtw
+    from sambert_hifigan_tpu.utils.eval_metrics import (
+        f0_metrics_dtw,
+        mcd,
+        mel_mae,
+        mel_mae_dtw,
+    )
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--metadata", type=str, default="data/demo/metadata.csv")
@@ -87,6 +92,7 @@ def main():
     )
 
     copy_mae, copy_mcd, tts_mae, tts_mcd = [], [], [], []
+    tts_f0, tts_vf1 = [], []
     for utt in ds.utterances[: args.n]:
         wav_gt, _ = load_wav(ds.root / utt.wav_path)
         wav_gt = wav_gt[0]
@@ -106,16 +112,21 @@ def main():
         n = min(len(wav_gt), len(wav_tts))
         tts_mae.append(mel_mae_dtw(wav_gt, wav_tts, cfg.audio))
         tts_mcd.append(mcd(wav_gt[:n], wav_tts[:n], cfg.audio))
+        f0m = f0_metrics_dtw(wav_gt, wav_tts, cfg.audio)
+        tts_f0.append(f0m["f0_rmse_hz"])
+        tts_vf1.append(f0m["voicing_f1"])
         save_wav(out / f"{Path(utt.wav_path).stem}_tts.wav", wav_tts, cfg.audio.sample_rate)
         print(
             f"{utt.wav_path}: copy mel-MAE {copy_mae[-1]:.4f} MCD {copy_mcd[-1]:.3f} dB | "
-            f"tts dtw-mel-MAE {tts_mae[-1]:.4f} MCD {tts_mcd[-1]:.3f} dB"
+            f"tts dtw-mel-MAE {tts_mae[-1]:.4f} MCD {tts_mcd[-1]:.3f} dB "
+            f"F0-RMSE {tts_f0[-1]:.2f} Hz vF1 {tts_vf1[-1]:.3f}"
         )
 
     print(
         f"AVG over {len(copy_mae)}: copy mel-MAE {np.mean(copy_mae):.4f} "
         f"MCD {np.mean(copy_mcd):.3f} dB | tts dtw-mel-MAE {np.mean(tts_mae):.4f} "
-        f"MCD {np.mean(tts_mcd):.3f} dB"
+        f"MCD {np.mean(tts_mcd):.3f} dB "
+        f"F0-RMSE {np.nanmean(tts_f0):.2f} Hz vF1 {np.mean(tts_vf1):.3f}"
     )
     print(f"wavs in {out}")
 

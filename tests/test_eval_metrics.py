@@ -169,3 +169,40 @@ class TestF0Metrics:
         ).astype(np.float32)
         m = f0_metrics(tone, noise, AUDIO)
         assert m["voicing_f1"] < 0.7
+
+
+class TestF0MetricsDtw:
+    def test_identity_perfect(self):
+        from sambert_hifigan_tpu.utils.eval_metrics import f0_metrics_dtw
+
+        wav = _tone(220.0, n=AUDIO.sample_rate, amp=0.5)
+        m = f0_metrics_dtw(wav, wav, AUDIO)
+        assert m["f0_rmse_hz"] == 0.0
+        assert m["voicing_f1"] == pytest.approx(1.0)
+
+    def test_alignment_invariance(self):
+        """Same pitch CONTOUR with different segment DURATIONS (the full-TTS
+        case: predicted durations differ from the recording) must keep DTW
+        F0-RMSE near zero, where a frame-wise comparison would pair a 220 Hz
+        frame of one signal with a 330 Hz frame of the other."""
+        from sambert_hifigan_tpu.utils.eval_metrics import f0_metrics_dtw
+
+        sr = AUDIO.sample_rate
+
+        def seg(f, secs):
+            t = np.arange(int(sr * secs), dtype=np.float32) / sr
+            return 0.5 * np.sin(2 * np.pi * f * t)
+
+        a = np.concatenate([seg(220.0, 0.6), seg(330.0, 0.4)]).astype(np.float32)
+        b = np.concatenate([seg(220.0, 0.4), seg(330.0, 0.6)]).astype(np.float32)
+        m = f0_metrics_dtw(a, b, AUDIO)
+        assert m["f0_rmse_hz"] < 10.0, m
+        assert m["voicing_f1"] > 0.9
+
+    def test_detuned_tone_measured(self):
+        from sambert_hifigan_tpu.utils.eval_metrics import f0_metrics_dtw
+
+        a = _tone(220.0, n=AUDIO.sample_rate, amp=0.5)
+        b = _tone(230.0, n=AUDIO.sample_rate, amp=0.5)
+        m = f0_metrics_dtw(a, b, AUDIO)
+        assert 5.0 < m["f0_rmse_hz"] < 15.0
