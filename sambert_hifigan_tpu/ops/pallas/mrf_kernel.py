@@ -210,6 +210,10 @@ def fused_mrf(
     for bi in range(b):
         xf = x[bi].reshape(tf, fold * c).astype(jnp.bfloat16)
         xf = jnp.pad(xf, ((H, H), (0, 0)))
+        # keep the pad/reshape producers out of the custom call's fusion:
+        # fused at [B, T, C] scale they overflow XLA's 16 MB scoped-vmem
+        # stack budget (observed at the serving warmup's widest bucket)
+        xf = jax.lax.optimization_barrier(xf)
         out = pl.pallas_call(
             kernel,
             grid=(tf // tile,),

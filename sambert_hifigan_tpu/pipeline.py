@@ -191,10 +191,21 @@ class TTSPipeline:
                         dtype=self.generator.dtype,
                     )
                 fused = self._fused_generator
+                gen = self.generator
 
                 @jax.jit
-                def fn(params, mel):  # params unused; fused holds the weights
-                    return fused(mel)
+                def fn(params, mel):
+                    # The fused Pallas MRF is the LATENCY path: it runs batch
+                    # rows as sequential kernels (models/fused_generator.py),
+                    # so wide batches gain nothing — and the serving
+                    # max-batch x max-frames bucket additionally trips an XLA
+                    # scoped-vmem overflow when the pad/stack plumbing around
+                    # the custom calls is fused at [16, 4096, 256] scale.
+                    # Route wide batches to the plain XLA generator, which
+                    # batches properly on the MXU (shape is trace-static).
+                    if mel.shape[0] <= 2:
+                        return fused(mel)  # params unused; fused holds weights
+                    return gen.apply(params, mel)
 
             else:
 
