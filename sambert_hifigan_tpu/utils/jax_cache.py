@@ -42,7 +42,14 @@ def _host_key() -> str:
     tunnel-compiled training graphs warm across hosts)."""
     flags = ""
     ident: dict[str, str] = {}
-    want = ("vendor_id", "cpu family", "model", "stepping")
+    # "model name" (the marketing string) is included on top of the numeric
+    # ident: observed live (r4) that two SKUs can present identical
+    # vendor/family/model/stepping+flags through virtualized cpuinfo while
+    # LLVM still detects different tuning features via raw CPUID — the brand
+    # string is the cheapest remaining discriminator.  (A residual collision
+    # is correctness-benign: the AOT load fails and the entry is recompiled
+    # and rewritten.)
+    want = ("vendor_id", "cpu family", "model", "model name", "stepping")
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:

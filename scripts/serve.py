@@ -222,9 +222,13 @@ def main():
         generator_params_from_tree(voc_tree),
     )
     if args.warmup:
-        print("warmup: compiling common buckets...")
+        print("warmup: compiling common buckets...", flush=True)
         pipe.synthesize_batch(["warmup"] * args.max_batch)
         pipe.synthesize("warmup")
+        print("warmup: compiling streaming graphs...", flush=True)
+        for _ in pipe.stream("warmup"):
+            pass  # /tts/stream's chunk-decode + windowed-vocode graphs
+        print("warmup: done", flush=True)
     batcher = DynamicBatcher(
         pipe, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
     )
