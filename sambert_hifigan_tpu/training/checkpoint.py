@@ -76,12 +76,15 @@ class CheckpointManager:
             raise ValueError(f"unknown save precision: {precision!r}")
         if not dataclasses.is_dataclass(state):
             return state
-        cast = lambda t: jax.tree.map(  # noqa: E731
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32
-            else x,
-            t,
-        )
+        def to_bf16(x):
+            if not (hasattr(x, "dtype") and x.dtype == jnp.float32):
+                return x
+            if hasattr(x, "astype"):
+                return x.astype(jnp.bfloat16)
+            # abstract leaves (jax.ShapeDtypeStruct targets in restore())
+            return jax.ShapeDtypeStruct(x.shape, jnp.bfloat16)
+
+        cast = lambda t: jax.tree.map(to_bf16, t)  # noqa: E731
         names = {f.name for f in dataclasses.fields(state)}
         repl = {n: cast(getattr(state, n)) for n in _BF16_FIELDS if n in names}
         return dataclasses.replace(state, **repl)
@@ -96,6 +99,16 @@ class CheckpointManager:
         if self._save_error is not None:
             err, self._save_error = self._save_error, None
             raise err
+
+    def drain(self) -> Optional[BaseException]:
+        """wait() that RETURNS a stashed background-save error instead of
+        raising — for emergency paths (divergence/preemption) that must
+        still attempt a final save after a failed interval save."""
+        try:
+            self.wait()
+        except BaseException as e:
+            return e
+        return None
 
     def save(
         self,
@@ -145,6 +158,13 @@ class CheckpointManager:
 
     def _write(self, step: int, state: Any, meta: dict) -> None:
         path = self._step_dir(step)
+        if path.exists() and not (path / "meta.json").exists():
+            # Aborted earlier save (killed between orbax's state commit and
+            # the meta.json marker): all_steps() ignores the dir, but orbax
+            # refuses to overwrite the committed state — clear and rewrite.
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
         self._ckptr.save(path / "state", state)
         (path / "meta.json").write_text(json.dumps(meta))
         self._gc()

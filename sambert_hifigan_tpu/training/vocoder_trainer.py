@@ -197,9 +197,6 @@ def vocoder_train_step(
             d_grads, d_opt_state, d_trainable
         )
         d_params_new = optax.apply_updates(d_trainable, d_updates)
-        if new_spectral is not None:
-            new_spectral = jax.lax.stop_gradient(new_spectral)
-            d_params_new = {**d_params_new, "spectral": new_spectral}
         if d_update_every > 1:
             # gate the D update on the step counter (one jitted program;
             # grads are computed regardless so metrics stay comparable)
@@ -207,10 +204,16 @@ def vocoder_train_step(
             pick = lambda new, old: jax.tree.map(  # noqa: E731
                 lambda a, b: jnp.where(apply, a, b), new, old
             )
-            d_params = pick(d_params_new, d_params)
+            d_params = pick(d_params_new, d_trainable)
             d_opt_state = pick(d_opt_state_new, d_opt_state)
         else:
             d_params, d_opt_state = d_params_new, d_opt_state_new
+        if new_spectral is not None:
+            # the power iteration advances on EVERY D forward (torch
+            # semantics), independent of the gated optimizer update
+            d_params = {
+                **d_params, "spectral": jax.lax.stop_gradient(new_spectral)
+            }
         metrics.update(d_metrics)
         metrics["d_grad_norm"] = optax.global_norm(d_grads)
     else:

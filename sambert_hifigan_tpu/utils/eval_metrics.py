@@ -75,18 +75,6 @@ def mcd(
     return float((10.0 / np.log(10.0)) * np.sqrt(2.0) * np.mean(dist))
 
 
-def dtw_mel_path(
-    ma: np.ndarray, mb: np.ndarray
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Optimal DTW frame alignment between two [T, n_mels] log-mels.
-
-    Returns (path_a, path_b) index arrays of equal length (monotone,
-    step-adjacent).  Shared by mel_mae_dtw and f0_metrics_dtw so the F0
-    comparison rides the SAME alignment as the spectral one."""
-    pa, pb = _dtw(ma, mb)[1:]
-    return pa, pb
-
-
 def mel_mae_dtw(
     wav_a: np.ndarray,
     wav_b: np.ndarray,
@@ -209,14 +197,23 @@ def f0_metrics(
     n = min(wav_ref.shape[-1], wav_syn.shape[-1])
     f0_r, v_r = extract_f0(jnp.asarray(wav_ref[..., :n], jnp.float32), audio)
     f0_s, v_s = extract_f0(jnp.asarray(wav_syn[..., :n], jnp.float32), audio)
-    f0_r, v_r = np.asarray(f0_r), np.asarray(v_r)
-    f0_s, v_s = np.asarray(f0_s), np.asarray(v_s)
+    return _f0_compare(
+        np.asarray(f0_r), np.asarray(f0_s), np.asarray(v_r), np.asarray(v_s)
+    )
+
+
+def _f0_compare(
+    f0_r: np.ndarray, f0_s: np.ndarray, v_r: np.ndarray, v_s: np.ndarray
+) -> dict:
+    """F0-RMSE over frames voiced on both sides + voicing-decision F1 —
+    shared by the frame-wise (f0_metrics) and DTW-aligned (f0_metrics_dtw)
+    variants so their definitions cannot drift."""
     both = v_r & v_s
     if both.any():
         rmse = float(np.sqrt(np.mean((f0_r[both] - f0_s[both]) ** 2)))
     else:
         rmse = float("nan")
-    tp = float((v_r & v_s).sum())
+    tp = float(both.sum())
     prec = tp / max(float(v_s.sum()), 1.0)
     rec = tp / max(float(v_r.sum()), 1.0)
     f1 = 2 * prec * rec / max(prec + rec, 1e-9)
@@ -249,16 +246,4 @@ def f0_metrics_dtw(
     # F0 frames share the mel hop; clamp the path to the shorter F0 track
     pa = np.clip(pa, 0, len(f0_r) - 1)
     pb = np.clip(pb, 0, len(f0_s) - 1)
-    r, s = f0_r[pa], f0_s[pb]
-    vr, vs = v_r[pa], v_s[pb]
-    both = vr & vs
-    rmse = (
-        float(np.sqrt(np.mean((r[both] - s[both]) ** 2)))
-        if both.any()
-        else float("nan")
-    )
-    tp = float((vr & vs).sum())
-    prec = tp / max(float(vs.sum()), 1.0)
-    rec = tp / max(float(vr.sum()), 1.0)
-    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
-    return {"f0_rmse_hz": rmse, "voicing_f1": float(f1)}
+    return _f0_compare(f0_r[pa], f0_s[pb], v_r[pa], v_s[pb])

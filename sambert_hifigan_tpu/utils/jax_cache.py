@@ -81,22 +81,28 @@ def _cpu_backend_selected() -> bool:
 
 
 def gc_cache_dir(base: str, budget_bytes: int) -> int:
-    """Startup mtime-sweep GC: bound `base` to `budget_bytes` by deleting the
-    OLDEST-mtime cache entries past the budget.  Returns bytes deleted.
+    """Startup recency-sweep GC: bound `base` to `budget_bytes` by deleting
+    the LEAST-RECENTLY-TOUCHED cache entries past the budget.  Returns bytes
+    deleted.
 
     This replaces the dropped jax LRU cap (commit d77a230): jax's own cap
     tracks entries with `-atime` sentinel files and breaks on directories
-    that already hold cap-less entries; a plain mtime sweep at enable() time
-    has no such bookkeeping — a deleted entry is simply a cache miss.  Only
-    regular files directly under `base` are considered (per-host cpu-* subdirs
-    are separate cache roots that GC themselves when selected)."""
+    that already hold cap-less entries; a plain stat sweep at enable() time
+    has no such bookkeeping — a deleted entry is simply a cache miss.
+    Recency is max(mtime, atime): mtime alone is write-time FIFO, which
+    would evict the oldest-WRITTEN entries first — exactly the expensive,
+    still-hot training graphs that are read every run but never rewritten
+    (relatime mounts refresh atime at most daily, which is plenty for a GC).
+    Only regular files directly under `base` are considered (per-host cpu-*
+    subdirs are separate cache roots that GC themselves when selected)."""
     try:
         entries = []
         with os.scandir(base) as it:
             for e in it:
                 if e.is_file(follow_symlinks=False):
                     st = e.stat()
-                    entries.append((st.st_mtime, st.st_size, e.path))
+                    recency = max(st.st_mtime, st.st_atime)
+                    entries.append((recency, st.st_size, e.path))
     except OSError:
         return 0
     total = sum(s for _, s, _ in entries)
@@ -115,20 +121,29 @@ def gc_cache_dir(base: str, budget_bytes: int) -> int:
     return deleted
 
 
-def _prune_stale_cpu_dirs(parent: str, keep: str) -> None:
-    """Remove per-SKU cpu-<hash> cache roots that no longer match this host
-    (rekeying used to orphan them forever — tens of MB each)."""
+def _prune_stale_cpu_dirs(parent: str, keep: str, keep_others: int = 1) -> None:
+    """Remove orphaned per-SKU cpu-<hash> cache roots (rekeying used to
+    orphan them forever — tens of MB each), but KEEP the most recent
+    `keep_others` non-matching dirs: hosts that alternate between two SKUs
+    as the VM migrates would otherwise rebuild the whole CPU cache on every
+    flip, which is exactly what the per-SKU keying exists to avoid."""
     import re
     import shutil
 
     try:
         with os.scandir(parent) as it:
-            names = [e.name for e in it if e.is_dir(follow_symlinks=False)]
+            others = [
+                (e.stat().st_mtime, e.path)
+                for e in it
+                if e.is_dir(follow_symlinks=False)
+                and re.fullmatch(r"cpu-[0-9a-f]{12}", e.name)
+                and e.name != keep
+            ]
     except OSError:
         return
-    for name in names:
-        if re.fullmatch(r"cpu-[0-9a-f]{12}", name) and name != keep:
-            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+    others.sort(reverse=True)  # newest first
+    for _, path in others[keep_others:]:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def enable(cache_dir: str | None = None) -> bool:

@@ -221,7 +221,9 @@ def main():
                 ckpt.save(i + 1, state, precision=args.save_precision,
                           background=not args.sync_save)
     except TrainingDiverged as e:
-        ckpt.wait()
+        err = ckpt.drain()  # a failed interval save must not mask divergence
+        if err:
+            print(f"[train_acoustic] warning: background save failed earlier: {err}")
         if ckpt.latest_step() != last_step:
             ckpt.save(last_step, state, precision=args.save_precision)
         writer.close()
@@ -232,7 +234,9 @@ def main():
     finally:
         if isinstance(batches, Prefetcher):
             batches.close()
-    ckpt.wait()
+    err = ckpt.drain()
+    if err:
+        print(f"[train_acoustic] warning: background save failed earlier: {err}")
     if shutdown.requested:
         if ckpt.latest_step() != last_step:
             ckpt.save(last_step, state, precision=args.save_precision)

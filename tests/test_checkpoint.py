@@ -108,6 +108,38 @@ class TestCheckpoint:
             assert b.dtype == jnp.float32
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=8e-3, atol=8e-3)
 
+    def test_aborted_save_dir_is_recovered(self, tmp_path):
+        """A killed background save can leave step_N/state committed with no
+        meta.json; the dir must not block a later save at the same step
+        (orbax refuses to overwrite a committed state)."""
+        mgr = CheckpointManager(str(tmp_path), AudioConfig())
+        orphan = tmp_path / "step_000000007" / "state"
+        orphan.mkdir(parents=True)
+        (orphan / "junk").write_text("partial")
+        assert mgr.latest_step() is None  # meta-less dir is invisible
+        mgr.save(7, _state())
+        restored, step = mgr.restore(_state(seed=1))
+        assert step == 7
+        for a, b in zip(jax.tree.leaves(_state()), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_bf16_restore_into_abstract_target(self, tmp_path):
+        """restore() accepts abstract (ShapeDtypeStruct) targets for
+        bf16-saved checkpoints too (the cast helper must not call .astype on
+        abstract leaves)."""
+        mgr = CheckpointManager(str(tmp_path), AudioConfig())
+        state = _state()
+        mgr.save(7, state, precision="bf16")
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        )
+        restored, step = mgr.restore(abstract)
+        assert step == 7
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for b in jax.tree.leaves(restored.opt_state):
+            assert b.dtype == jnp.float32  # upcast back to the target dtype
+
     def test_gc_keeps_latest_n(self, tmp_path):
         mgr = CheckpointManager(str(tmp_path), AudioConfig(), keep=2)
         for s in (1, 2, 3, 4):

@@ -49,15 +49,25 @@ class TestGcCacheDir:
 
 
 class TestPruneStaleCpuDirs:
-    def test_prunes_other_sku_dirs_only(self, tmp_path):
+    def test_keeps_current_plus_most_recent_other(self, tmp_path):
+        """Alternating-SKU hosts keep their other SKU's cache warm: the
+        newest non-matching dir survives, older orphans are pruned, and
+        non-cache dirs are untouched."""
         base = str(tmp_path)
         keep = "cpu-aaaaaaaaaaaa"
-        for name in (keep, "cpu-bbbbbbbbbbbb", "not-a-cache-dir"):
-            os.makedirs(os.path.join(base, name))
-            _write(os.path.join(base, name, "e-cache"), 10, time.time())
+        now = time.time()
+        for name, age in (
+            (keep, 0), ("cpu-bbbbbbbbbbbb", 100), ("cpu-cccccccccccc", 200),
+            ("not-a-cache-dir", 0),
+        ):
+            d = os.path.join(base, name)
+            os.makedirs(d)
+            _write(os.path.join(d, "e-cache"), 10, now - age)
+            os.utime(d, (now - age, now - age))
         jax_cache._prune_stale_cpu_dirs(base, keep)
         assert os.path.isdir(os.path.join(base, keep))
-        assert not os.path.exists(os.path.join(base, "cpu-bbbbbbbbbbbb"))
+        assert os.path.isdir(os.path.join(base, "cpu-bbbbbbbbbbbb"))  # newest other
+        assert not os.path.exists(os.path.join(base, "cpu-cccccccccccc"))
         assert os.path.isdir(os.path.join(base, "not-a-cache-dir"))
 
 
