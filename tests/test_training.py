@@ -349,6 +349,35 @@ class TestDataParallel:
         for k, v in metrics.items():
             assert np.isfinite(float(v)), k
 
+    def test_spectral_norm_step_on_8_device_mesh(self):
+        """Spectral norm's mutable 'spectral' collection (rank-1 u/v state
+        riding in d_params) must survive pjit over a data=8 mesh: the
+        power-iteration update happens inside the partitioned D-pass and the
+        replicated u/v must come back consistent."""
+        cfg = _cfg("adv_mel_fm")
+        disc = dataclasses.replace(
+            cfg.vocoder.discriminator,
+            msd_use_spectral_norm=True,
+            mpd_use_spectral_norm=True,
+        )
+        cfg = dataclasses.replace(
+            cfg, vocoder=dataclasses.replace(cfg.vocoder, discriminator=disc)
+        )
+        mesh = create_mesh(data=8, model=1)
+        model = HiFiGAN(cfg.vocoder)
+        state = init_vocoder_state(model, cfg, jax.random.PRNGKey(0), mel_frames=8)
+        spec_before = jax.device_get(state.d_params["spectral"])
+        state = replicate(state, mesh)
+        step = make_jitted_vocoder_step(model, cfg, mesh=mesh)
+        mel, wav = _gan_batch(b=8)
+        mel, wav = shard_batch((mel, wav), mesh)
+        state, metrics = step(state, mel, wav)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+        assert not _leaves_equal(spec_before, state.d_params["spectral"])
+        u0 = state.d_params["spectral"]["msd"]["disc_0"]["conv_0"]["u"]
+        assert abs(float(jnp.linalg.norm(u0)) - 1.0) < 1e-5
+
     def test_dp_grads_match_single_device(self):
         """Data-parallel training with replicated params must produce the same
         metrics as single-device on the same global batch (XLA all-reduce ==
