@@ -280,9 +280,10 @@ def main():
 
     # Streaming time-to-first-chunk (pipeline.stream: chunked AR decode +
     # windowed vocode) — the interactive-serving headline.  Measured warm,
-    # wall-clock including the host syncs the stream inherently makes
-    # (decode-chunk fetches + the chunk's wav fetch); on this image those
-    # ride a ~30 ms-RTT tunnel, so the raw number is an upper bound vs an
+    # wall-clock including the ONE host sync the first chunk makes (the
+    # combined (first_wav, total_frames) fetch; everything before it
+    # dispatches asynchronously); on this image that sync rides a
+    # ~25-30 ms-RTT tunnel, so the raw number is an upper bound vs an
     # attached host.
     chunk_frames, context_frames = 32, 16
     for _ in pipe.stream(text, chunk_frames, context_frames):
@@ -298,7 +299,7 @@ def main():
     first_audio_ms = chunk_frames * hop / sr * 1e3
     log(f"stream TTFB (chunk={chunk_frames}, ctx={context_frames}): "
         f"{ttfb * 1e3:.1f} ms to the first {first_audio_ms:.0f} ms of audio "
-        f"(includes ~3 host syncs x {rtt * 1e3:.0f} ms tunnel RTT)")
+        f"(includes 1 host sync x {rtt * 1e3:.0f} ms tunnel RTT)")
 
     train_metrics = bench_training(rtt)
 

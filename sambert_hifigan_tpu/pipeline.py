@@ -331,23 +331,49 @@ class TTSPipeline:
         energy_scale: float = 1.0,
     ) -> np.ndarray:
         """text -> waveform [T_wav] float32, trimmed to the true length."""
-        out = self.text_to_mel(
-            [text], duration_scale, pitch_shift, energy_scale
-        )
-        wav = self.vocode(out.mel_pred)  # [1, 1, maxF * hop]
-        # one combined host transfer (each device->host fetch pays a full
-        # roundtrip; on tunneled setups that dominates warm latency)
-        wav_np, total = jax.device_get((wav[0, 0], out.total_frames[0]))
-        n_frames = min(int(total), out.mel_pred.shape[1])
-        return np.asarray(wav_np[: n_frames * self.hop])
+        return self.synthesize_batch(
+            [text],
+            duration_scale=duration_scale,
+            pitch_shift=pitch_shift,
+            energy_scale=energy_scale,
+        )[0]
 
     def synthesize_batch(self, texts: List[str], **controls) -> List[np.ndarray]:
-        out = self.text_to_mel(texts, **controls)
-        wav = self.vocode(out.mel_pred)
-        # one combined host transfer for the whole batch (a per-sample
-        # int(total[i]) would pay a device->host roundtrip per sample)
-        wav_np, totals = jax.device_get((wav, out.total_frames))
-        max_frames = out.mel_pred.shape[1]
+        """Batch text -> wav with ONE host sync on the warm path: acoustic
+        inference AND vocoding dispatch back-to-back on the estimated frame
+        bucket, then (wav, total_frames) come back in one combined
+        device_get.  Only a bucket overflow (predicted frames exceed the
+        estimate) pays a second dispatch+fetch — durations are
+        deterministic, so the re-run lands on the same totals (same policy
+        as _dispatch_frame_budget, fused with the vocoder here so the happy
+        path costs one roundtrip instead of two)."""
+        duration_scale = controls.get("duration_scale", 1.0)
+        tph, args = self._frontend_args(
+            texts,
+            duration_scale,
+            controls.get("pitch_shift", 0.0),
+            controls.get("energy_scale", 1.0),
+        )
+        buckets = self.cfg.runtime.frame_buckets
+        est = int(tph * 12 * max(duration_scale, 1.0))
+        max_frames = pick_bucket(min(est, max(buckets)), buckets)
+        for _ in range(2):  # optimistic pass + at most one overflow re-run
+            out = self._acoustic_fn(tph, max_frames)(self.acoustic_params, *args)
+            wav = self.vocode(out.mel_pred)
+            # one combined host transfer for the whole batch (each
+            # device->host fetch pays a full roundtrip; on tunneled setups
+            # that dominates warm latency)
+            wav_np, totals = jax.device_get((wav, out.total_frames))
+            need = int(totals.max())
+            if need <= max_frames or max_frames >= max(buckets):
+                break
+            max_frames = pick_bucket(min(need, max(buckets)), buckets)
+        if need > max_frames:
+            warnings.warn(
+                f"predicted {need} frames exceed the largest frame bucket "
+                f"({max_frames}); audio will be truncated - split the text "
+                "or enlarge runtime.frame_buckets"
+            )
         return [
             np.asarray(wav_np[i, 0, : min(int(totals[i]), max_frames) * self.hop])
             for i in range(len(texts))
@@ -372,59 +398,138 @@ class TTSPipeline:
         first chunk arrives after encoder + ~(chunk + context) decode steps
         instead of after the FULL utterance decode.  Each chunk is vocoded
         from its mel window plus context_frames margin on each side (HiFi-GAN
-        has a finite receptive field), so the streamed audio is bit-identical
-        to the one-shot synthesize() output for sufficient context
+        has a finite receptive field), so the streamed audio matches the
+        one-shot synthesize() output to windowed-vocoding tolerance — exact
+        where the receptive field fits the context margin; measured max
+        |diff| ~2e-3 on the full bf16 model at ctx=16
         (reference design.md:799-824's streaming goal; its chunk_size knob
-        never actually chunked, reference: models/ar_decoder.py:198-229)."""
+        never actually chunked, reference: models/ar_decoder.py:198-229).
+
+        ONE host sync before first audio: encoder, decoder prep, the first
+        decode chunks, window assembly, tail masking, and the first vocode
+        all dispatch asynchronously on the estimated frame bucket (mel stays
+        device-resident; windows are assembled and total-frame-masked on
+        device), then (first_wav, total_frames) come back in a single
+        device_get.  Only a bucket overflow restarts at the correct bucket
+        (durations are deterministic, so the restart is exact).  Later
+        chunks likewise cost one fetch each."""
         tph, args = self._frontend_args(
             [text], duration_scale, pitch_shift, energy_scale, shard=False
         )
-        va, max_frames, total = self._dispatch_frame_budget(
-            self._encode_fn, tph, args, duration_scale,
-            lambda o: o.total_frames,
-        )
-        total = min(total, max_frames)
+        buckets = self.cfg.runtime.frame_buckets
+        est = int(tph * 12 * max(duration_scale, 1.0))
+        max_frames = pick_bucket(min(est, max(buckets)), buckets)
+        run = _StreamRun(self, tph, args, max_frames, chunk_frames,
+                         context_frames)
+        first_wav, need = run.first_fetch()
+        if need > max_frames and max_frames < max(buckets):
+            # bucket overflow: the truncated encode memory would change the
+            # decode, so restart cleanly at the bucket that fits
+            max_frames = pick_bucket(min(need, max(buckets)), buckets)
+            run = _StreamRun(self, tph, args, max_frames, chunk_frames,
+                             context_frames)
+            first_wav, need = run.first_fetch()
+        if need > max_frames:
+            warnings.warn(
+                f"predicted {need} frames exceed the largest frame bucket "
+                f"({max_frames}); audio will be truncated - split the text "
+                "or enlarge runtime.frame_buckets"
+            )
+        total = min(need, max_frames)
+        yield first_wav[: min(chunk_frames, total) * self.hop]
+        for start in range(chunk_frames, total, chunk_frames):
+            wav = run.window_wav(start, total)
+            valid = min(chunk_frames, total - start) * self.hop
+            yield np.asarray(jax.device_get(wav))[:valid]
 
-        decoder, prepare, decode_chunk = self._stream_decode_fns(
+
+class _StreamRun:
+    """Device-side state of one streaming synthesis at a fixed frame bucket.
+
+    Everything here dispatches asynchronously: decoded mel chunks stay
+    device-resident, vocode windows are assembled by on-device concat/slice,
+    and the tail beyond the (device-resident) total frame count is zero-masked
+    on device — so the host only ever blocks on finished waveform chunks.
+    The first fetch returns (first_wav, total_frames) together: one roundtrip
+    to first audio instead of the three the host-buffered path paid (encode
+    totals fetch, per-chunk mel fetch, wav fetch)."""
+
+    def __init__(self, pipe: "TTSPipeline", tph: int, args, max_frames: int,
+                 chunk_frames: int, context_frames: int):
+        self.pipe = pipe
+        self.max_frames = max_frames
+        self.chunk = chunk_frames
+        self.context = context_frames
+        self.window = chunk_frames + 2 * context_frames
+        self.hop = pipe.hop
+
+        self.va = pipe._encode_fn(tph, max_frames)(pipe.acoustic_params, *args)
+        decoder, prepare, decode_chunk = pipe._stream_decode_fns(
             max_frames, chunk_frames
         )
-        dp, mem_k, mem_v = prepare(self.acoustic_params, va.hvar)
-        mem_mask = ~va.frame_mask
+        self._decode_chunk = decode_chunk
+        self.dp, self.mem_k, self.mem_v = prepare(pipe.acoustic_params,
+                                                  self.va.hvar)
+        self.mem_mask = ~self.va.frame_mask
         cfg_dec = decoder.config
-        carry = init_packed_carry(
+        self.carry = init_packed_carry(
             cfg_dec.n_layers, 1, max_frames, cfg_dec.n_heads,
             decoder.d_model // cfg_dec.n_heads, decoder.n_mels,
-            self.acoustic.dtype,
+            pipe.acoustic.dtype,
         )
-        window = chunk_frames + 2 * context_frames
-        vocode = self._vocode_fn(window)
-        mel_buf = np.zeros((1, max_frames + window, self.cfg.audio.n_mels),
-                           np.float32)
-        decoded = 0  # frames materialized in mel_buf (clamped to total)
-        pos = 0  # decoder position (may overshoot total by < chunk)
-        for start in range(0, total, chunk_frames):
-            # decode until this window's right context exists
-            need = min(start + chunk_frames + context_frames, total)
-            while decoded < need:
-                carry, mel_c = decode_chunk(
-                    dp, mem_k, mem_v, mem_mask, carry, jnp.int32(pos)
-                )
-                n_new = min(chunk_frames, max_frames - pos)
-                mel_buf[:, pos : pos + n_new] = jax.device_get(
-                    mel_c
-                )[:, :n_new]
-                pos += chunk_frames
-                decoded = min(pos, total)
-            # frames >= total are zeros in the one-shot path (frame-mask
-            # multiply); mel_buf beyond `decoded` is already zeros here
-            mel_buf[:, total:] = 0.0
-            lo = max(0, start - context_frames)
-            seg = mel_buf[:, lo : lo + window]
-            wav = vocode(self.generator_params, jnp.swapaxes(jnp.asarray(seg), 1, 2))
-            s = (start - lo) * self.hop
-            chunk = np.asarray(wav[0, 0, s : s + chunk_frames * self.hop])
-            valid = min(chunk_frames, total - start) * self.hop
-            yield chunk[:valid]
+        self.vocode = pipe._vocode_fn(self.window)
+        # device-resident clamped total: masks window tails without a fetch
+        self.total_dev = jnp.minimum(self.va.total_frames[0], max_frames)
+        self.chunks: List[jnp.ndarray] = []  # [1, chunk, n_mels] device arrays
+        self.pos = 0  # decoder position (multiple of chunk; may overshoot)
+        self._zero_chunk = None
+
+    def _ensure_decoded(self, need: int) -> None:
+        """Advance the decode scan until `need` frames exist (chunk
+        granularity, clamped to the bucket).  Pure dispatch — never blocks."""
+        while self.pos < min(need, self.max_frames):
+            self.carry, mel_c = self._decode_chunk(
+                self.dp, self.mem_k, self.mem_v, self.mem_mask, self.carry,
+                jnp.int32(self.pos),
+            )
+            self.chunks.append(mel_c)
+            self.pos += self.chunk
+
+    def _window_device(self, start: int) -> jnp.ndarray:
+        """Vocode the window centered on [start, start+chunk) fully on
+        device; returns the chunk's wav slice as a device array."""
+        lo = max(0, start - self.context)
+        c0, c1 = lo // self.chunk, (lo + self.window - 1) // self.chunk
+        if self._zero_chunk is None:
+            self._zero_chunk = jnp.zeros_like(self.chunks[0])
+        parts = [
+            self.chunks[i] if i < len(self.chunks) else self._zero_chunk
+            for i in range(c0, c1 + 1)
+        ]
+        seg = jnp.concatenate(parts, axis=1)
+        off = lo - c0 * self.chunk
+        seg = seg[:, off : off + self.window]
+        # frames >= total are zeros in the one-shot path (frame-mask
+        # multiply); reproduce that on device so no fetch of total is needed
+        idx = lo + jnp.arange(self.window)
+        seg = seg * (idx < self.total_dev)[None, :, None].astype(seg.dtype)
+        wav = self.vocode(self.pipe.generator_params, jnp.swapaxes(seg, 1, 2))
+        s = (start - lo) * self.hop
+        return wav[0, 0, s : s + self.chunk * self.hop]
+
+    def first_fetch(self) -> Tuple[np.ndarray, int]:
+        """Dispatch through the first vocoded chunk, then ONE combined
+        device_get of (first_wav, total_frames)."""
+        self._ensure_decoded(self.chunk + self.context)
+        wav = self._window_device(0)
+        wav_np, totals = jax.device_get((wav, self.va.total_frames))
+        return np.asarray(wav_np), int(totals.max())
+
+    def window_wav(self, start: int, total: int) -> jnp.ndarray:
+        """Later chunks: decode as far as this window's right context, then
+        vocode on device (caller fetches the returned wav slice)."""
+        self._ensure_decoded(min(start + self.chunk + self.context, total))
+        return self._window_device(start)
 
 
 def build_pipeline_from_random_init(
