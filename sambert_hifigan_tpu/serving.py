@@ -20,11 +20,18 @@ the TPU wants to be fed:
   (per-request control vectors would force scalar->vector retraces of the
   jitted acoustic program for a niche case).
 
-* **Streaming.**  `synthesize_stream` exposes `TTSPipeline.stream`'s
-  chunked decode through the same worker: audio chunks flow to the caller
-  as the device produces them (first chunk after ~chunk_frames of decode
-  instead of the whole utterance).  Stream requests never fuse with batch
-  requests and run alone, serialized on the device feeder.
+* **Streaming, interleaved at chunk granularity.**  `synthesize_stream`
+  exposes `TTSPipeline.stream`'s chunked decode through the same worker:
+  audio chunks flow to the caller as the device produces them (first chunk
+  after ~chunk_frames of decode instead of the whole utterance).  Stream
+  requests never fuse with batch requests, but they no longer serialize
+  ahead of them either: the worker advances every active stream by ONE
+  chunk per scheduling round and runs at most one fused batch in between,
+  so a long stream cannot head-of-line-block queued `/tts` requests and
+  batch bursts cannot stall a live stream's cadence (each chunk is
+  ~372 ms of audio produced in ~15-20 ms of device time — one batch per
+  round fits comfortably inside the real-time budget).  Multiple
+  concurrent streams round-robin within the same rounds.
 
 Threading model: callers submit from any thread and block on a per-request
 event (batch) or a per-request chunk queue (stream); ONE worker thread
@@ -64,6 +71,10 @@ class _StreamRequest:
     controls: Tuple[Tuple[str, float], ...]
     stream_kwargs: Dict[str, Any]
     chunks: "queue.Queue" = field(default_factory=queue.Queue)
+    cancelled: bool = False  # caller gone (timeout / generator closed)
+
+
+_SHUTDOWN = object()  # _take_batch's translation of the close() sentinel
 
 
 class DynamicBatcher:
@@ -90,6 +101,9 @@ class DynamicBatcher:
         self.batches_run = 0
         self.requests_served = 0
         self.streams_served = 0
+        self.stream_chunks = 0
+        self.batches_interleaved = 0  # fused batches run while a stream was live
+        self._active_streams = 0
         self._worker = threading.Thread(
             target=self._run, name="tts-batcher", daemon=True
         )
@@ -142,9 +156,12 @@ class DynamicBatcher:
         """Streaming submit: yields waveform chunks as the device produces
         them (`TTSPipeline.stream` underneath — first audio after ~one chunk
         of decode instead of the full utterance).  The stream runs on the
-        same single worker thread that owns the device, so it serializes
-        with batch requests rather than interleaving device calls;
-        `timeout` bounds the wait for EACH chunk."""
+        same single worker thread that owns the device, interleaved with
+        batch traffic at chunk granularity (one chunk per active stream per
+        scheduling round, at most one fused batch in between).  `timeout`
+        bounds the wait for EACH chunk; a timed-out or closed consumer marks
+        the request cancelled and the worker drops the stream instead of
+        decoding audio nobody reads."""
         req = _StreamRequest(
             text=text,
             controls=(
@@ -160,19 +177,25 @@ class DynamicBatcher:
         self._queue.put(req)
 
         def gen():
-            while True:
-                try:
-                    kind, payload = req.chunks.get(timeout=timeout)
-                except queue.Empty:
-                    raise TimeoutError(
-                        f"TTS stream chunk timed out after {timeout}s"
-                    ) from None
-                if kind == "chunk":
-                    yield payload
-                elif kind == "error":
-                    raise payload
-                else:  # "done"
-                    return
+            try:
+                while True:
+                    try:
+                        kind, payload = req.chunks.get(timeout=timeout)
+                    except queue.Empty:
+                        raise TimeoutError(
+                            f"TTS stream chunk timed out after {timeout}s"
+                        ) from None
+                    if kind == "chunk":
+                        yield payload
+                    elif kind == "error":
+                        raise payload
+                    else:  # "done"
+                        return
+            finally:
+                # timeout, GeneratorExit, or normal end: flag the request so
+                # the worker stops producing chunks for a gone consumer (a
+                # no-op if the stream already finished)
+                req.cancelled = True
 
         return gen()
 
@@ -198,14 +221,17 @@ class DynamicBatcher:
                 continue  # abandoned by a timed-out caller: skip, don't burn a batch slot
             return req
 
-    def _take_batch(self):
-        """Block for the first request, then fill the batch with whatever
-        arrives within the wait window.  Only same-controls batch requests
-        fuse; the first differing one is held by the worker and leads the
-        NEXT batch.  Stream requests never fuse — one returns alone."""
-        first = self._next_request()
+    def _take_batch(self, block: bool = True):
+        """Pop the first request (blocking, or immediately raising
+        queue.Empty when `block=False` — the worker polls between stream
+        chunks), then fill the batch with whatever arrives within the wait
+        window.  Only same-controls batch requests fuse; the first differing
+        one is held by the worker and leads the NEXT batch.  Stream requests
+        never fuse — one returns alone.  Returns _SHUTDOWN for close()'s
+        sentinel."""
+        first = self._next_request(timeout=None if block else 0)
         if first is None:
-            return None
+            return _SHUTDOWN
         if isinstance(first, _StreamRequest):
             return first
         batch = [first]
@@ -227,47 +253,104 @@ class DynamicBatcher:
             batch.append(req)
         return batch
 
-    def _run_stream(self, req: _StreamRequest):
-        """Drive one streaming request to completion on the worker thread.
-        Head-of-line note: batch requests queued behind a stream wait for it
-        — the single feeder owns the device; a deployment mixing heavy
-        streaming with batch traffic should run one batcher per concern."""
+    def _open_stream(self, req: _StreamRequest):
+        """Create the stream iterator (no device work until the first
+        advance)."""
+        if req.cancelled:
+            self._finish_stream()
+            return None
         try:
-            for chunk in self.pipeline.stream(
-                req.text, **req.stream_kwargs, **dict(req.controls)
-            ):
-                req.chunks.put(("chunk", chunk))
+            return iter(
+                self.pipeline.stream(
+                    req.text, **req.stream_kwargs, **dict(req.controls)
+                )
+            )
         except BaseException as e:  # noqa: BLE001 — routed to the caller
             req.chunks.put(("error", e))
-        else:
+            self._finish_stream()
+            return None
+
+    def _advance_stream(self, req: _StreamRequest, it) -> bool:
+        """Produce ONE chunk for an active stream; False = stream finished
+        (done / error / consumer gone) and must leave the active set."""
+        if req.cancelled:
+            it.close()  # consumer timed out or closed: stop decoding for it
+            self._finish_stream()
+            return False
+        try:
+            chunk = next(it)
+        except StopIteration:
             req.chunks.put(("done", None))
+            self._finish_stream()
+            return False
+        except BaseException as e:  # noqa: BLE001 — routed to the caller
+            req.chunks.put(("error", e))
+            self._finish_stream()
+            return False
+        req.chunks.put(("chunk", chunk))
+        with self._stats_lock:
+            self.stream_chunks += 1
+        return True
+
+    def _finish_stream(self):
         with self._stats_lock:
             self.batches_run += 1
             self.requests_served += 1
             self.streams_served += 1
 
-    def _run(self):
-        while True:
-            batch = self._take_batch()
-            if batch is None:
-                return
-            if isinstance(batch, _StreamRequest):
-                self._run_stream(batch)
-                continue
-            try:
-                wavs = self.pipeline.synthesize_batch(
-                    [r.text for r in batch], **dict(batch[0].controls)
-                )
-                for r, w in zip(batch, wavs):
-                    r.wav = w
-            except BaseException as e:  # noqa: BLE001 — routed to callers
-                for r in batch:
-                    r.error = e
-            with self._stats_lock:
-                self.batches_run += 1
-                self.requests_served += len(batch)
+    def _run_batch(self, batch: List[_Request], interleaved: bool):
+        try:
+            wavs = self.pipeline.synthesize_batch(
+                [r.text for r in batch], **dict(batch[0].controls)
+            )
+            for r, w in zip(batch, wavs):
+                r.wav = w
+        except BaseException as e:  # noqa: BLE001 — routed to callers
             for r in batch:
-                r.done.set()
+                r.error = e
+        with self._stats_lock:
+            self.batches_run += 1
+            self.requests_served += len(batch)
+            if interleaved:
+                self.batches_interleaved += 1
+        for r in batch:
+            r.done.set()
+
+    def _run(self):
+        """Worker scheduling loop.  With no streams live it blocks on the
+        queue exactly like a plain batcher.  With streams live it runs
+        rounds: poll the queue without blocking (admitting one fused batch
+        or one new stream), advance every live stream by one chunk, then run
+        the polled batch — so streams keep real-time cadence (a chunk is
+        ~372 ms of audio for ~15-20 ms device time) while batch traffic
+        makes progress between chunks instead of waiting for whole
+        utterances."""
+        streams: List[Tuple[_StreamRequest, Any]] = []
+        closing = False
+        while True:
+            work = None
+            if not closing:
+                try:
+                    work = self._take_batch(block=not streams)
+                except queue.Empty:
+                    pass  # nothing queued: just advance the live streams
+            if work is _SHUTDOWN:
+                # close(): everything queued before the sentinel is already
+                # popped; drain live streams, then stop
+                closing = True
+                work = None
+            if isinstance(work, _StreamRequest):
+                it = self._open_stream(work)
+                if it is not None:
+                    streams.append((work, it))
+                work = None
+            streams = [s for s in streams if self._advance_stream(*s)]
+            with self._stats_lock:
+                self._active_streams = len(streams)
+            if work:
+                self._run_batch(work, interleaved=bool(streams))
+            if closing and not streams:
+                return
 
     # ---- observability -------------------------------------------------------
 
@@ -283,6 +366,9 @@ class DynamicBatcher:
                     else 0.0
                 ),
                 "queue_depth": self._queue.qsize(),
+                "stream_chunks": self.stream_chunks,
+                "batches_interleaved": self.batches_interleaved,
+                "active_streams": self._active_streams,
             }
 
 

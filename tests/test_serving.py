@@ -257,6 +257,78 @@ class TestStreaming:
             list(b.synthesize_stream("xy", timeout=0.05))
         b.close()
 
+    def test_long_stream_does_not_block_batch_requests(self):
+        """A long-running stream must interleave with queued batch traffic
+        at chunk granularity: batch latency stays bounded by ~a chunk time,
+        not the whole stream; the stream still completes."""
+        stub = StubPipeline(delay_s=0.05)  # 40-chunk stream = 2 s total
+        b = DynamicBatcher(stub, max_batch=8, max_wait_ms=1)
+        stream_chunks = []
+        stream_done = threading.Event()
+
+        def stream_worker():
+            for c in b.synthesize_stream("x" * 40, timeout=10.0):
+                stream_chunks.append(time.monotonic())
+            stream_done.set()
+
+        t = threading.Thread(target=stream_worker)
+        t.start()
+        while not stream_chunks:  # stream is live and producing
+            time.sleep(0.005)
+        # batch requests submitted MID-stream must complete long before the
+        # stream does (pre-interleaving they waited for the full 2 s drive)
+        t0 = time.monotonic()
+        wav = b.synthesize("hello", timeout=5.0)
+        batch_latency = time.monotonic() - t0
+        assert wav.shape == (5,)
+        assert not stream_done.is_set(), "stream finished too fast to test"
+        assert batch_latency < 1.0, batch_latency  # ~1 chunk (50ms) + margin
+        t.join()
+        st = b.stats()
+        b.close()
+        assert len(stream_chunks) == 40
+        assert st["batches_interleaved"] >= 1
+        assert st["stream_chunks"] == 40
+
+    def test_cancelled_stream_is_dropped_by_worker(self):
+        """A consumer that times out (or closes the generator) must stop the
+        worker from decoding further chunks for it."""
+        stub = StubPipeline(delay_s=0.05)
+        b = DynamicBatcher(stub, max_batch=1, max_wait_ms=1)
+        it = b.synthesize_stream("x" * 50, timeout=5.0)
+        next(it)
+        it.close()  # consumer walks away after one chunk
+        # worker must go idle: a batch request is served promptly and the
+        # dropped stream stops consuming rounds
+        assert b.synthesize("ok", timeout=5.0).shape == (2,)
+        time.sleep(0.3)
+        st = b.stats()
+        b.close()
+        assert st["streams_served"] == 1  # finished (as cancelled), not leaked
+        assert st["stream_chunks"] < 50, st["stream_chunks"]
+
+    def test_two_streams_round_robin(self):
+        stub = StubPipeline(delay_s=0.01)
+        b = DynamicBatcher(stub, max_batch=4, max_wait_ms=1)
+        results = {}
+
+        def worker(name, text):
+            results[name] = list(b.synthesize_stream(text, timeout=5.0))
+
+        ts = [
+            threading.Thread(target=worker, args=("a", "abcdefgh")),
+            threading.Thread(target=worker, args=("b", "12345678")),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        st = b.stats()
+        b.close()
+        assert len(results["a"]) == 8 and len(results["b"]) == 8
+        assert st["streams_served"] == 2
+        assert st["stream_chunks"] == 16
+
 
 class TestHTTPServer:
     @pytest.fixture()
