@@ -33,8 +33,21 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Multi-host init (no-op on a single host)."""
+    """Multi-host init (no-op on a single host).
+
+    Must run before the first backend touch (jax.devices() etc.).  On the
+    CPU backend, cross-process collectives need an implementation picked
+    before client creation — gloo is the one baked into jaxlib; TPU pods
+    ignore the setting (ICI collectives are native).  Executed for real by
+    scripts/multiprocess_dp.py + tests/test_multiprocess.py (2 coordinated
+    CPU processes, global DP mesh, bitwise-matching train metrics)."""
     if num_processes is not None and num_processes > 1:
+        # NOTE: must not touch the backend here (jax.default_backend() would
+        # instantiate it before the distributed client exists) — decide from
+        # the platform config instead.
+        platforms = jax.config.jax_platforms or ""
+        if platforms.startswith("cpu") or os.environ.get("SAMBERT_FORCE_CPU"):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -68,15 +81,45 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device_put every leaf with its leading axis sharded over 'data'."""
+    """Device_put every leaf with its leading axis sharded over 'data'.
+
+    Multi-process: every process passes the SAME global batch (the host data
+    pipeline is deterministic), and each contributes only the slice its
+    addressable devices own — a cross-process device_put is not a thing, so
+    the global array is assembled from process-local shards."""
+    nproc = jax.process_count()
+
     def put(x):
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if nproc == 1:
+            return jax.device_put(x, sharding)
+        x = np.asarray(x)
+        if x.shape[0] % nproc:
+            raise ValueError(
+                f"batch dim {x.shape[0]} not divisible by {nproc} processes"
+            )
+        per = x.shape[0] // nproc
+        lo = jax.process_index() * per
+        return jax.make_array_from_process_local_data(
+            sharding, x[lo : lo + per], x.shape
+        )
 
     return jax.tree.map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree (parameters, optimizer state)."""
+    """Fully replicate a pytree (parameters, optimizer state).
+
+    Multi-process: every process must hold identical values (same init
+    seed / same checkpoint); each contributes its full copy and the runtime
+    stitches the replicated global array without any data movement."""
     sharding = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        tree,
+    )
