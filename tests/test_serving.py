@@ -330,6 +330,112 @@ class TestStreaming:
         assert st["stream_chunks"] == 16
 
 
+class TestSoak:
+    @pytest.mark.slow
+    def test_sustained_mixed_load(self):
+        """Minutes-scale soak: concurrent batch requests (mixed controls),
+        streams (some abandoned mid-flight), and aggressive timeouts, all
+        racing.  Asserts the boundaries the one-shot tests touch once each:
+        no leak of cancelled/abandoned requests, queue drains to empty,
+        worker stays alive, and throughput holds steady across the run."""
+        import gc
+
+        stub = StubPipeline(delay_s=0.002)
+        b = DynamicBatcher(stub, max_batch=8, max_wait_ms=2)
+        stop_at = time.monotonic() + 60.0
+        errors = []
+        counts = {"ok": 0, "timeout": 0, "stream_ok": 0, "stream_drop": 0}
+        lock = threading.Lock()
+        window_marks = []  # (t, requests_served) for steadiness check
+
+        def batch_client(i):
+            k = 0
+            while time.monotonic() < stop_at:
+                k += 1
+                scale = 1.0 + (k % 3) * 0.5  # rotate controls
+                # every 7th request gets a timeout designed to fire under
+                # burst load; the rest get a generous one
+                tmo = 0.001 if k % 7 == 0 else 5.0
+                try:
+                    wav = b.synthesize(f"text{i}", duration_scale=scale,
+                                       timeout=tmo)
+                    assert wav.shape == (len(f"text{i}"),)
+                    assert wav[0] == scale
+                    with lock:
+                        counts["ok"] += 1
+                except TimeoutError:
+                    with lock:
+                        counts["timeout"] += 1
+                except BaseException as e:  # noqa: BLE001
+                    errors.append(e)
+                    return
+
+        def stream_client(i):
+            k = 0
+            while time.monotonic() < stop_at:
+                k += 1
+                try:
+                    it = b.synthesize_stream("streamtxt", timeout=5.0)
+                    if k % 3 == 0:  # abandon a third of streams mid-flight
+                        next(it)
+                        it.close()
+                        with lock:
+                            counts["stream_drop"] += 1
+                    else:
+                        chunks = list(it)
+                        assert len(chunks) == 9
+                        with lock:
+                            counts["stream_ok"] += 1
+                except BaseException as e:  # noqa: BLE001
+                    errors.append(e)
+                    return
+
+        threads = [
+            threading.Thread(target=batch_client, args=(i,)) for i in range(4)
+        ] + [threading.Thread(target=stream_client, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        while time.monotonic() < stop_at:
+            time.sleep(5)
+            window_marks.append((time.monotonic(), b.stats()["requests_served"]))
+        for t in threads:
+            t.join()
+        # let the worker drain whatever the clients left queued
+        deadline = time.monotonic() + 10
+        while b.stats()["queue_depth"] > 0 and time.monotonic() < deadline:
+            time.sleep(0.1)
+        st = b.stats()
+        assert not errors, errors[:3]
+        assert st["queue_depth"] == 0
+        assert st["active_streams"] == 0
+        # the worker is still alive and serving after the storm
+        assert b.synthesize("alive", timeout=5.0).shape == (5,)
+        b.close()
+        # work actually happened, including every boundary
+        assert counts["ok"] > 100, counts
+        assert counts["timeout"] > 0, counts  # timeouts really fired
+        assert counts["stream_ok"] > 5 and counts["stream_drop"] > 2, counts
+        # steadiness: per-5s-window served counts never collapse (>25% of
+        # the per-window mean — generous for a 1-core CI host under GC)
+        rates = [
+            (window_marks[i + 1][1] - window_marks[i][1])
+            / (window_marks[i + 1][0] - window_marks[i][0])
+            for i in range(len(window_marks) - 1)
+        ]
+        mean_rate = sum(rates) / len(rates)
+        assert all(r > 0.25 * mean_rate for r in rates), rates
+        # no leaked request objects: after the clients are gone and the
+        # queue is drained, no _Request/_StreamRequest survives a full GC
+        from sambert_hifigan_tpu import serving as serving_mod
+
+        gc.collect()
+        leaked = [
+            o for o in gc.get_objects()
+            if isinstance(o, (serving_mod._Request, serving_mod._StreamRequest))
+        ]
+        assert not leaked, f"{len(leaked)} request objects leaked"
+
+
 class TestHTTPServer:
     @pytest.fixture()
     def server(self):
