@@ -456,21 +456,19 @@ def ar_decode(
             n_mels=model.n_mels,
             interpret=jax.default_backend() != "tpu",
         )
-        if os.getenv("SAMBERT_PALLAS_DECODE", "auto") == "int8" and b == 1:
-            # Opt-in quantized serving mode: int8 weights VMEM-resident,
-            # zero per-step weight streaming (numerics change; see
-            # ops/pallas/decode_kernel_q.py).
-            from ..ops.pallas.decode_kernel_q import pallas_ar_decode_int8
+        from ..ops.pallas.decode_kernel import pallas_ar_decode
 
-            out = pallas_ar_decode_int8(
-                dp, mem_k, mem_v, max_len, memory_key_padding_mask, **kwargs
-            )
-        else:
-            from ..ops.pallas.decode_kernel import pallas_ar_decode
-
-            out = pallas_ar_decode(
-                dp, mem_k, mem_v, max_len, memory_key_padding_mask, **kwargs
-            )
+        # An int8-VMEM-resident variant was built and measured (round 4) and
+        # removed in round 5: not faster (the bf16 kernel's double-buffered
+        # weight stream already hides fully behind the issue-latency-bound
+        # serial compute), and its resident int8 weights (~5.5 MB) occupy
+        # MORE VMEM than the streaming kernel's two-slice buffer (~3.7 MB),
+        # so it cannot extend batched T/B reach either.  Full writeup in
+        # docs/performance.md; the engine lives in git history (<= d55c6c8,
+        # ops/pallas/decode_kernel_q.py).
+        out = pallas_ar_decode(
+            dp, mem_k, mem_v, max_len, memory_key_padding_mask, **kwargs
+        )
         return out.astype(hvar.dtype)
     return ar_decode_packed(model, params, hvar, max_len, memory_key_padding_mask)
 

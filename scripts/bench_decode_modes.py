@@ -3,9 +3,11 @@
 
 Usage:  python scripts/bench_decode_modes.py
 
-Modes: auto = bf16 Pallas mega-kernel, int8 = quantized-weight kernel
-(ops/pallas/decode_kernel_q.py), 0 = XLA scan fallback.  Amortized
+Modes: auto = bf16 Pallas mega-kernel, 0 = XLA scan fallback.  Amortized
 min-of-reps timing with one value fetch per 10 runs (tunnel-safe).
+(An int8-weight kernel was a third mode through round 4; it measured equal
+to bf16 and was removed — docs/performance.md "What we measured and ruled
+out".)
 """
 import os, sys, time
 from pathlib import Path
@@ -38,5 +40,4 @@ def run_mode(mode):
     print(f"mode={mode}: {t*1e3:.2f} ms / {T} frames ({T/t/1e3:.1f}k frames/s), checksum {v:.2f}")
 
 run_mode("auto")   # bf16 mega-kernel
-run_mode("int8")   # quantized kernel
 run_mode("0")      # XLA scan fallback

@@ -221,36 +221,6 @@ class TestARDecode:
         # discriminates.
         np.testing.assert_allclose(out[8], solo[0], rtol=1e-2, atol=1e-2)
 
-    def test_int8_kernel_quality(self):
-        """Opt-in int8 decode: quantization noise must stay comparable to the
-        bf16 path's noise relative to f32 ground truth."""
-        from sambert_hifigan_tpu.models.ar_decoder import (
-            ar_decode_packed,
-            extract_decode_params,
-            precompute_memory_packed,
-        )
-        from sambert_hifigan_tpu.ops.pallas.decode_kernel_q import (
-            pallas_ar_decode_int8,
-        )
-
-        cfg = DecoderConfig(n_layers=2, n_heads=4, d_ff=64, dropout=0.0, max_len=64)
-        model = PNCAARDecoder(D, MELS, cfg, dtype=jnp.float32)
-        hvar = _rand(13, 1, 12, D)
-        params = model.init(
-            jax.random.PRNGKey(5), hvar, jnp.zeros((1, 12, MELS))
-        )
-        truth = np.asarray(ar_decode_packed(model, params, hvar, 12))
-        dp = extract_decode_params(model, params)
-        mk, mv = precompute_memory_packed(model, params, hvar)
-        out = np.asarray(
-            pallas_ar_decode_int8(
-                dp, mk, mv, 12, None, n_heads=4, n_mels=MELS, interpret=True
-            )
-        )
-        assert out.shape == truth.shape
-        assert np.abs(out - truth).mean() < 0.05
-        assert np.isfinite(out).all()
-
     def test_output_length_equals_max_len(self, model_params):
         # (reference: tests/test_ar_decoder.py:57-140)
         model, params = model_params
