@@ -444,8 +444,6 @@ def ar_decode(
     b = hvar.shape[0]
     if max_len is None:
         max_len = hvar.shape[1]
-    import os
-
     if use_pallas is None:
         use_pallas = _pallas_decode_wanted(model, b, max_len, hvar.shape[1])
     if use_pallas and b <= 32:

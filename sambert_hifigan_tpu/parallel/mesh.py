@@ -94,15 +94,14 @@ def shard_batch(batch, mesh: Mesh):
         sharding = NamedSharding(mesh, spec)
         if nproc == 1:
             return jax.device_put(x, sharding)
+        # Every process holds the full global batch, so let the runtime ask
+        # for exactly the index range each addressable shard owns — correct
+        # for ANY device order in the mesh (a hand-computed
+        # process_index()*per slice silently misassigns rows when the data
+        # axis is not contiguous per process, e.g. topology-ordered pods).
         x = np.asarray(x)
-        if x.shape[0] % nproc:
-            raise ValueError(
-                f"batch dim {x.shape[0]} not divisible by {nproc} processes"
-            )
-        per = x.shape[0] // nproc
-        lo = jax.process_index() * per
-        return jax.make_array_from_process_local_data(
-            sharding, x[lo : lo + per], x.shape
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
         )
 
     return jax.tree.map(put, batch)

@@ -265,16 +265,26 @@ class TTSPipeline:
             args = tuple(put(x) for x in args)
         return tph, args
 
+    def _initial_bucket(self, tph: int, duration_scale: float) -> int:
+        """The frame-budget estimate every dispatch path shares (text_to_mel,
+        synthesize_batch, stream): ~12 frames per phoneme scaled by the
+        duration control, clamped into the configured buckets.  One
+        definition so the one-shot and streaming paths can never disagree on
+        bucket policy."""
+        buckets = self.cfg.runtime.frame_buckets
+        est = int(tph * 12 * max(duration_scale, 1.0))
+        return pick_bucket(min(est, max(buckets)), buckets)
+
     def _dispatch_frame_budget(self, fn_for, tph, args, duration_scale, totals_of):
         """Run a (tph, max_frames)-bucketed jitted fn under the frame-budget
         heuristic: estimate, dispatch, and if predicted durations overflow the
         bucket re-dispatch ONCE at the smallest bucket that fits (durations
         are deterministic, so the re-run lands on the same totals).  Returns
-        (out, max_frames, need).  Shared by text_to_mel and stream so the two
-        paths can never disagree on bucket policy."""
+        (out, max_frames, need).  Used by text_to_mel; synthesize_batch and
+        stream inline the same loop around _initial_bucket because their
+        overflow handling differs (fused vocode / clean stream restart)."""
         buckets = self.cfg.runtime.frame_buckets
-        est = int(tph * 12 * max(duration_scale, 1.0))
-        max_frames = pick_bucket(min(est, max(buckets)), buckets)
+        max_frames = self._initial_bucket(tph, duration_scale)
         out = fn_for(tph, max_frames)(self.acoustic_params, *args)
         need = int(jax.device_get(totals_of(out)).max())
         if need > max_frames and max_frames < max(buckets):
@@ -338,25 +348,33 @@ class TTSPipeline:
             energy_scale=energy_scale,
         )[0]
 
-    def synthesize_batch(self, texts: List[str], **controls) -> List[np.ndarray]:
+    def synthesize_batch(
+        self,
+        texts: List[str],
+        duration_scale: float = 1.0,
+        pitch_shift: float = 0.0,
+        energy_scale: float = 1.0,
+        max_frames: Optional[int] = None,
+    ) -> List[np.ndarray]:
         """Batch text -> wav with ONE host sync on the warm path: acoustic
         inference AND vocoding dispatch back-to-back on the estimated frame
-        bucket, then (wav, total_frames) come back in one combined
-        device_get.  Only a bucket overflow (predicted frames exceed the
-        estimate) pays a second dispatch+fetch — durations are
-        deterministic, so the re-run lands on the same totals (same policy
-        as _dispatch_frame_budget, fused with the vocoder here so the happy
-        path costs one roundtrip instead of two)."""
-        duration_scale = controls.get("duration_scale", 1.0)
+        bucket (or the caller-pinned `max_frames`), then (wav, total_frames)
+        come back in one combined device_get.  Only a bucket overflow
+        (predicted frames exceed the estimate) pays a second dispatch+fetch
+        — durations are deterministic, so the re-run lands on the same
+        totals (same estimate as _initial_bucket, fused with the vocoder
+        here so the happy path costs one roundtrip instead of two)."""
         tph, args = self._frontend_args(
-            texts,
-            duration_scale,
-            controls.get("pitch_shift", 0.0),
-            controls.get("energy_scale", 1.0),
+            texts, duration_scale, pitch_shift, energy_scale
         )
         buckets = self.cfg.runtime.frame_buckets
-        est = int(tph * 12 * max(duration_scale, 1.0))
-        max_frames = pick_bucket(min(est, max(buckets)), buckets)
+        if max_frames is not None:  # caller pinned the bucket: never re-run
+            buckets = (max_frames,)
+        max_frames = (
+            max_frames
+            if max_frames is not None
+            else self._initial_bucket(tph, duration_scale)
+        )
         for _ in range(2):  # optimistic pass + at most one overflow re-run
             out = self._acoustic_fn(tph, max_frames)(self.acoustic_params, *args)
             wav = self.vocode(out.mel_pred)
@@ -417,8 +435,7 @@ class TTSPipeline:
             [text], duration_scale, pitch_shift, energy_scale, shard=False
         )
         buckets = self.cfg.runtime.frame_buckets
-        est = int(tph * 12 * max(duration_scale, 1.0))
-        max_frames = pick_bucket(min(est, max(buckets)), buckets)
+        max_frames = self._initial_bucket(tph, duration_scale)
         run = _StreamRun(self, tph, args, max_frames, chunk_frames,
                          context_frames)
         first_wav, need = run.first_fetch()

@@ -63,9 +63,16 @@ def main():
     tree, step = CheckpointManager(
         args.acoustic_checkpoint, cfg.audio
     ).restore_tree(step=args.acoustic_step)
-    params = tree.get("ema_params") if args.params == "ema" else None
-    which = "ema" if params is not None else "raw"
-    params = params if params is not None else tree["params"]
+    from sambert_hifigan_tpu.training.acoustic_trainer import (
+        acoustic_params_from_tree,
+    )
+
+    params = acoustic_params_from_tree(tree, prefer_ema=args.params == "ema")
+    which = (
+        "ema"
+        if args.params == "ema" and tree.get("ema_params") is not None
+        else "raw"
+    )
     model = SAMBERTAcousticModel(cfg.acoustic_model)
 
     from sambert_hifigan_tpu.losses.acoustic import mel_l1_loss

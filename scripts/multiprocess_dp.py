@@ -194,6 +194,13 @@ def _free_port() -> int:
 
 
 def run_launcher(args) -> int:
+    import tempfile
+
+    # The workers run CPU/gloo; the in-process control must share their
+    # backend (and numerics) or the comparison below mixes TPU bf16-MXU
+    # matmuls with CPU f32 and fails its own tolerance.  run_control reads
+    # the same env the workers inherit.
+    os.environ.setdefault("SAMBERT_FORCE_CPU", "1")
     env = dict(os.environ, SAMBERT_FORCE_CPU="1")
     env.pop("XLA_FLAGS", None)  # one real CPU device per process
     port = args.port if args.port != COORD_PORT else _free_port()
@@ -203,18 +210,33 @@ def run_launcher(args) -> int:
     # compile in seconds and reach the first collective together, and keeps
     # three interpreters from fighting over the single CI core at once
     control = run_control(args)
+    # Worker output goes to temp FILES, not pipes: a worker blocked on a
+    # full unread pipe mid-collective would deadlock its peers, and a
+    # sequential communicate() can't drain two pipes at once.
+    files = [tempfile.TemporaryFile(mode="w+") for _ in range(args.nproc)]
     procs = [
         subprocess.Popen(
             [sys.executable, __file__,
              "--nproc", str(args.nproc), "--steps", str(args.steps),
              "--batch-size", str(args.batch_size),
              "--process-id", str(i), "--coordinator", coordinator],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True,
+            env=env, stdout=f, stderr=subprocess.STDOUT,
         )
-        for i in range(args.nproc)
+        for i, f in zip(range(args.nproc), files)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    try:
+        for p in procs:
+            p.wait(timeout=600)
+    except subprocess.TimeoutExpired:
+        for p in procs:  # never leak workers on a hang
+            p.kill()
+        for p in procs:
+            p.wait()
+    outs = []
+    for f in files:
+        f.seek(0)
+        outs.append(f.read())
+        f.close()
     rcs = [p.returncode for p in procs]
     if any(rcs):
         for i, out in enumerate(outs):
