@@ -249,6 +249,11 @@ class RuntimeConfig:
     # becomes "pad to bucket + mask".
     phoneme_buckets: Tuple[int, ...] = (32, 64, 128, 256)
     frame_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2048)
+    # Batch-axis buckets for synthesize_batch: fused serving batches are
+    # padded up to the next bucket so XLA compiles ONE program per bucket
+    # instead of one per distinct batch size the micro-batcher happens to
+    # fuse (B is a static shape under jit, like every other axis here).
+    batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16)
     # bf16 compute for matmuls/convs (reference has no AMP; tasks.md:426-429).
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"

@@ -216,18 +216,70 @@ class TTSPipeline:
             self._vocode_cache[tfrm] = fn
         return self._vocode_cache[tfrm]
 
-    def warmup(self, max_frames: Optional[int] = None) -> None:
+    def warmup(
+        self,
+        max_frames: Optional[int] = None,
+        streaming: bool = False,
+        batch_buckets: bool = False,
+        chunk_frames: int = 32,
+        context_frames: int = 16,
+    ) -> None:
         """Pre-compile every (phoneme bucket, frame bucket) pair so first-user
         requests never pay compile latency (serving deployments call this at
-        startup).  With max_frames given, only that frame bucket compiles."""
+        startup).  With max_frames given, only that frame bucket compiles.
+
+        streaming=True also compiles the chunked-decode graphs: one real
+        stream per phoneme bucket (encode + decode-chunk + windowed vocode at
+        that text's estimated frame bucket) plus the decode-chunk graph for
+        EVERY frame bucket — a cold graph would otherwise compile while the
+        serving worker holds the device, stalling all traffic for its
+        duration.  batch_buckets=True compiles synthesize_batch's
+        runtime.batch_buckets sizes at the smallest text bucket (the batcher
+        pads fused batches to these, so B is never a fresh shape)."""
         frame_buckets = (
             [max_frames] if max_frames else list(self.cfg.runtime.frame_buckets)
         )
-        for tph in self.cfg.runtime.phoneme_buckets:
-            text = "预" * max(1, tph - 2)  # fills the bucket exactly with BOS/EOS
+        texts = {
+            tph: "预" * max(1, tph - 2)  # fills the bucket exactly with BOS/EOS
+            for tph in self.cfg.runtime.phoneme_buckets
+        }
+        for tph, text in texts.items():
             for tfrm in frame_buckets:
                 out = self.text_to_mel([text], max_frames=tfrm)
                 self.vocode(out.mel_pred)
+            if streaming:
+                # drain FULLY: later windows assemble one more mel chunk
+                # than the first (the left context straddles a chunk seam),
+                # a distinct op shape that must warm too
+                for _ in self.stream(
+                    text, chunk_frames=chunk_frames,
+                    context_frames=context_frames,
+                ):
+                    pass
+        if streaming:
+            # decode-chunk graphs are keyed (max_frames, chunk) independent
+            # of the text bucket; the streams above touched only each text's
+            # estimated frame bucket, so compile the remaining buckets via a
+            # direct _StreamRun (an overflow restart then pays at most a
+            # small encode compile, never the decode graph)
+            tph0 = min(texts)
+            _, args0 = self._frontend_args(
+                [texts[tph0]], 1.0, 0.0, 1.0, shard=False
+            )
+            for tfrm in frame_buckets:
+                run = _StreamRun(
+                    self, tph0, args0, tfrm, chunk_frames, context_frames
+                )
+                run.first_fetch()
+                if tfrm > chunk_frames:  # warm the 3-part later-window shape
+                    jax.block_until_ready(run.window_wav(
+                        chunk_frames,
+                        min(2 * chunk_frames + context_frames, tfrm),
+                    ))
+        if batch_buckets:
+            text0 = texts[min(texts)]
+            for b in self.cfg.runtime.batch_buckets:
+                self.synthesize_batch([text0] * b)
 
     def _frontend_args(self, texts, duration_scale, pitch_shift, energy_scale,
                        shard: bool = True):
@@ -363,7 +415,17 @@ class TTSPipeline:
         (predicted frames exceed the estimate) pays a second dispatch+fetch
         — durations are deterministic, so the re-run lands on the same
         totals (same estimate as _initial_bucket, fused with the vocoder
-        here so the happy path costs one roundtrip instead of two)."""
+        here so the happy path costs one roundtrip instead of two).
+
+        The batch axis is bucketed like every other axis: the request list
+        is padded (repeating the last text) up to the next
+        runtime.batch_buckets size, so the micro-batcher's variable fusion
+        widths all land on a handful of compiled programs instead of one
+        XLA compile per distinct B; outputs are sliced back to len(texts)."""
+        n = len(texts)
+        bb = self.cfg.runtime.batch_buckets
+        if bb and n < max(bb):
+            texts = list(texts) + [texts[-1]] * (pick_bucket(n, bb) - n)
         tph, args = self._frontend_args(
             texts, duration_scale, pitch_shift, energy_scale
         )
@@ -394,7 +456,7 @@ class TTSPipeline:
             )
         return [
             np.asarray(wav_np[i, 0, : min(int(totals[i]), max_frames) * self.hop])
-            for i in range(len(texts))
+            for i in range(n)
         ]
 
     # ---- streaming -----------------------------------------------------------

@@ -222,17 +222,30 @@ def main():
         generator_params_from_tree(voc_tree),
     )
     if args.warmup:
-        print("warmup: compiling common buckets...", flush=True)
-        pipe.synthesize_batch(["warmup"] * args.max_batch)
-        pipe.synthesize("warmup")
-        print("warmup: compiling streaming graphs...", flush=True)
-        for _ in pipe.stream("warmup"):
-            pass  # /tts/stream's chunk-decode + windowed-vocode graphs
+        # Full-coverage warmup: every (text, frame) bucket pair, the
+        # streaming graphs (incl. every frame bucket's decode-chunk graph),
+        # and every batch bucket — a cold graph at serve time would compile
+        # while the single device worker holds the chip, head-of-line-
+        # blocking ALL traffic for the compile's duration.  Compiles land in
+        # the persistent .jax_cache, so later server starts warm in seconds.
+        print("warmup: compiling bucket grid + streaming + batch sizes...",
+              flush=True)
+        pipe.warmup(streaming=True, batch_buckets=True)
+        if args.max_batch > max(cfg.runtime.batch_buckets):
+            pipe.synthesize_batch(["warmup"] * args.max_batch)
         print("warmup: done", flush=True)
     batcher = DynamicBatcher(
         pipe, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
     )
-    server = ThreadingHTTPServer(
+
+    class Server(ThreadingHTTPServer):
+        # stdlib default listen backlog is 5: a burst of concurrent
+        # connections (the whole point of the micro-batcher) overflows the
+        # accept queue and clients see connection resets
+        request_queue_size = 128
+        daemon_threads = True
+
+    server = Server(
         (args.host, args.port),
         make_handler(batcher, cfg.audio.sample_rate, args.request_timeout),
     )

@@ -149,6 +149,25 @@ class TestStreaming:
         assert sum(c.shape[0] for c in chunks) % HOP == 0
 
 
+class TestBatchBuckets:
+    """The batch axis is bucketed like every other axis (round-5 serving
+    finding: the micro-batcher's variable fusion widths each triggered a
+    fresh XLA compile mid-traffic)."""
+
+    def test_padded_batch_sliced_back(self, pipeline):
+        texts = ["你好", "今天天气真好呀", "你好世界"]
+        wavs = pipeline.synthesize_batch(texts)  # n=3 pads to bucket 4
+        ref = pipeline.synthesize_batch(texts + [texts[-1]])  # explicit 4
+        assert len(wavs) == 3 and len(ref) == 4
+        for w, r in zip(wavs, ref):
+            np.testing.assert_array_equal(w, r)
+
+    def test_warmup_covers_stream_and_batch_graphs(self, pipeline):
+        # smoke: the serving warmup path (bucket grid + streaming graphs +
+        # batch buckets) compiles and runs without error on the tiny model
+        pipeline.warmup(max_frames=64, streaming=True, batch_buckets=True)
+
+
 class TestMeshServing:
     def test_sharded_batch_matches_single_device(self, pipeline):
         """mesh=... serves batches data-parallel; outputs must match the
